@@ -1,0 +1,175 @@
+"""Overlap-tiled fully-convolutional whole-volume inference.
+
+Parity: flypylib fplnetwork.infer (SURVEY.md section 3.2): pad the volume
+by the model's valid-conv context, partition into blocks, run the
+fully-convolutional net per block, stitch outputs into the full probability
+map.
+
+TPU-first redesign (SURVEY.md section 7.2 step 4):
+
+- **Static tile shapes**: every tile has the same input shape, so XLA
+  compiles the forward exactly once; the tile grid extends past the volume
+  (extra voxels cropped) instead of changing shapes at edges.
+- **Pooling-phase alignment**: tile starts are multiples of the model's
+  ``size_multiple`` (2^levels for pooling U-Nets), so every tile sees the
+  same pooling grid phase as a monolithic run — tiled output is bitwise
+  identical to monolithic on the interior, including in tile overlaps.
+- **Batched tiles**: tiles are stacked on a batch axis to keep the MXU fed.
+- **Double-buffered host->HBM feed**: JAX dispatch is async — the next
+  tile batch uploads with ``jax.device_put`` while the current batch
+  computes, so the feed rides under compute.
+- **On-device stitching**: with ``keep_on_device=True`` the probability map
+  is assembled in HBM with donated ``dynamic_update_slice`` so downstream
+  NMS/CC never pull the map to host (north star [B:5]).
+
+Padding semantics: the volume is reflect-padded by exactly ``context`` on
+every face (matching a monolithic run), then zero-extended on the high side
+to fill the static tile grid; the extension only feeds output voxels that
+are cropped away, so it never affects the returned map.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flypylib_tpu.models.zoo import ModelSpec
+from flypylib_tpu.utils import ceil_div, to3d
+
+
+class TiledInference:
+    def __init__(
+        self,
+        spec: ModelSpec,
+        variables,
+        tile_out: int = 64,
+        tile_batch: int = 1,
+        pad_mode: str = "reflect",
+    ):
+        self.spec = spec
+        self.variables = variables
+        ctx = spec.context
+        # choose tile input size valid for the model, derive the true tile_out
+        tin = spec.valid_size(tile_out + 2 * ctx)
+        self.tile_in = tin
+        self.tile_out = tin - 2 * ctx
+        self.ctx = ctx
+        self.tile_batch = tile_batch
+        self.pad_mode = pad_mode
+        # tile starts must preserve pooling phase: stride multiple of this
+        self.align = spec.size_multiple
+        self.stride = (self.tile_out // self.align) * self.align
+        if self.stride <= 0:
+            raise ValueError(
+                f"tile_out {self.tile_out} smaller than alignment {self.align}"
+            )
+
+        @jax.jit
+        def forward(variables, x):
+            # x: (B, tin, tin, tin) float32 -> (B, tout, tout, tout) prob f32
+            logits = spec.module.apply(variables, x[..., None], train=False)
+            return jax.nn.sigmoid(logits[..., 0])
+
+        self._forward = forward
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def scatter(out, tiles, corners):
+            def body(out, args):
+                tile, corner = args
+                return (
+                    jax.lax.dynamic_update_slice(
+                        out, tile, (corner[0], corner[1], corner[2])
+                    ),
+                    None,
+                )
+
+            out, _ = jax.lax.scan(body, out, (tiles, corners))
+            return out
+
+        self._scatter = scatter
+
+    def _axis_plan(self, size: int) -> tuple[list[int], int]:
+        """(aligned tile starts, padded output extent) for one axis."""
+        k = max(0, ceil_div(size - self.tile_out, self.stride))
+        starts = [i * self.stride for i in range(k + 1)]
+        return starts, k * self.stride + self.tile_out
+
+    def plan(self, shape):
+        """(tile corners, padded output shape) for a (z, y, x) volume."""
+        shape = to3d(shape)
+        per_axis = [self._axis_plan(s) for s in shape]
+        corners = [
+            (z, y, x)
+            for z in per_axis[0][0]
+            for y in per_axis[1][0]
+            for x in per_axis[2][0]
+        ]
+        padded_shape = tuple(p[1] for p in per_axis)
+        return corners, padded_shape
+
+    def infer(self, volume: np.ndarray, keep_on_device: bool = False):
+        """Full-volume probability map, same shape as ``volume``."""
+        vol = np.asarray(volume, dtype=np.float32)
+        shape = vol.shape
+        c = self.ctx
+        corners, out_shape = self.plan(shape)
+
+        # stage 1: context halo (reflect — matches monolithic semantics)
+        padded = np.pad(vol, c, mode=self.pad_mode) if c else vol
+        # stage 2: zero-extend high side to the static tile grid (cropped
+        # away from the result, so values are irrelevant)
+        extra = [(0, os - s) for s, os in zip(shape, out_shape)]
+        padded = np.pad(padded, extra)
+
+        B = self.tile_batch
+        tin = self.tile_in
+        n = len(corners)
+        n_batches = ceil_div(n, B)
+        # pad the last batch by repeating the final corner: duplicate writes
+        # are bitwise identical, so stitch order is irrelevant
+        corners_padded = corners + [corners[-1]] * (n_batches * B - n)
+
+        def make_batch(bi):
+            cs = corners_padded[bi * B : (bi + 1) * B]
+            tiles = np.stack(
+                [
+                    padded[z : z + tin, y : y + tin, x : x + tin]
+                    for (z, y, x) in cs
+                ]
+            )
+            return tiles, np.asarray(cs, dtype=np.int32)
+
+        out = jnp.zeros(out_shape, dtype=jnp.float32)
+        # double-buffer: upload batch i+1 while batch i computes
+        next_tiles, next_corners = make_batch(0)
+        next_dev = jax.device_put(next_tiles)
+        for bi in range(n_batches):
+            tiles_dev = next_dev
+            corners_np = next_corners
+            if bi + 1 < n_batches:
+                next_tiles, next_corners = make_batch(bi + 1)
+                next_dev = jax.device_put(next_tiles)
+            probs = self._forward(self.variables, tiles_dev)
+            out = self._scatter(out, probs, jnp.asarray(corners_np))
+
+        out = out[: shape[0], : shape[1], : shape[2]]
+        if keep_on_device:
+            return out
+        return np.asarray(out)
+
+
+def infer_volume(
+    spec: ModelSpec,
+    variables,
+    volume: np.ndarray,
+    tile_out: int = 64,
+    tile_batch: int = 1,
+    keep_on_device: bool = False,
+):
+    """One-shot convenience wrapper around TiledInference."""
+    return TiledInference(
+        spec, variables, tile_out=tile_out, tile_batch=tile_batch
+    ).infer(volume, keep_on_device=keep_on_device)

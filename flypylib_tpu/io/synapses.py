@@ -1,0 +1,180 @@
+"""T-bar annotation I/O and rasterization.
+
+Parity: flypylib fplsynapses (SURVEY.md section 2.2 row 4): parse T-bar
+annotation JSON (Raveler-style ``{"data": [{"T-bar": {...}}]}`` and
+DVID-style element lists) into point arrays, and rasterize point annotations
+into binary label volumes plus loss masks for training.
+
+Conventions (pinned by tests; reference unreadable this session):
+
+- JSON locations are ``[x, y, z]`` (DVID/Raveler convention); in-memory
+  point arrays are ``(N, 3)`` float64 in ``(z, y, x)`` index order matching
+  numpy volume indexing, with a separate ``(N,)`` confidence array.
+- Labels: binary ball of ``radius`` voxels (Euclidean, inclusive) around
+  each T-bar center.
+- Loss mask: 1 everywhere except (a) an "ignore" annulus
+  ``radius < d <= radius_ign`` around each positive where the true label is
+  ambiguous, and (b) a ``border`` shell at the volume edge where a
+  valid-convolution network has no prediction.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from flypylib_tpu.utils import to3d
+
+
+@dataclass
+class Tbars:
+    """Point annotations: centers in (z, y, x) voxel coords + confidence."""
+
+    locs: np.ndarray  # (N, 3) float64, (z, y, x)
+    conf: np.ndarray = field(default=None)  # (N,) float64
+
+    def __post_init__(self):
+        self.locs = np.asarray(self.locs, dtype=np.float64).reshape(-1, 3)
+        if self.conf is None:
+            self.conf = np.ones(len(self.locs), dtype=np.float64)
+        self.conf = np.asarray(self.conf, dtype=np.float64).reshape(-1)
+        assert len(self.conf) == len(self.locs)
+
+    def __len__(self):
+        return len(self.locs)
+
+    def as_xyzc(self) -> np.ndarray:
+        """(N, 4) array with columns [x, y, z, conf] (JSON convention)."""
+        return np.concatenate(
+            [self.locs[:, ::-1], self.conf[:, None]], axis=1
+        )
+
+
+def load_from_json(source) -> Tbars:
+    """Parse T-bar annotations from a JSON file path, dict, or list.
+
+    Accepts Raveler-style ``{"data": [{"T-bar": {"location": [x,y,z],
+    "confidence": c}, ...}]}`` and DVID-style
+    ``[{"Kind": "PreSyn", "Pos": [x,y,z], "Prop": {"conf": c}}, ...]``.
+    """
+    if isinstance(source, str):
+        with open(source) as f:
+            obj = json.load(f)
+    else:
+        obj = source
+
+    locs_xyz, conf = [], []
+    if isinstance(obj, dict) and "data" in obj:  # Raveler-style
+        for item in obj["data"]:
+            tb = item.get("T-bar", item.get("tbar"))
+            if tb is None:
+                continue
+            locs_xyz.append(tb["location"])
+            conf.append(float(tb.get("confidence", 1.0)))
+    elif isinstance(obj, list):  # DVID element list
+        for el in obj:
+            if el.get("Kind", "PreSyn") != "PreSyn":
+                continue
+            locs_xyz.append(el["Pos"])
+            prop = el.get("Prop") or {}
+            conf.append(float(prop.get("conf", 1.0)))
+    else:
+        raise ValueError("unrecognized T-bar JSON structure")
+
+    locs_xyz = np.asarray(locs_xyz, dtype=np.float64).reshape(-1, 3)
+    return Tbars(locs=locs_xyz[:, ::-1], conf=np.asarray(conf))
+
+
+def save_to_json(tbars: Tbars, path: str | None = None, style: str = "raveler"):
+    """Serialize T-bars back to JSON (Raveler or DVID element style)."""
+    if style == "raveler":
+        obj = {
+            "data": [
+                {
+                    "T-bar": {
+                        "location": [int(x), int(y), int(z)],
+                        "confidence": float(c),
+                    },
+                    "partners": [],
+                }
+                for (x, y, z, c) in tbars.as_xyzc()
+            ],
+            "metadata": {"description": "synapse annotations", "file version": 1},
+        }
+    elif style == "dvid":
+        obj = [
+            {
+                "Kind": "PreSyn",
+                "Pos": [int(x), int(y), int(z)],
+                "Prop": {"conf": str(float(c))},
+            }
+            for (x, y, z, c) in tbars.as_xyzc()
+        ]
+    else:
+        raise ValueError(f"unknown style {style!r}")
+    if path is not None:
+        with open(path, "w") as f:
+            json.dump(obj, f)
+    return obj
+
+
+def _ball_offsets(radius: float) -> np.ndarray:
+    """Integer (z, y, x) offsets within Euclidean ``radius`` (inclusive)."""
+    r = int(np.floor(radius))
+    g = np.arange(-r, r + 1)
+    zz, yy, xx = np.meshgrid(g, g, g, indexing="ij")
+    keep = zz * zz + yy * yy + xx * xx <= radius * radius
+    return np.stack([zz[keep], yy[keep], xx[keep]], axis=1)
+
+
+def tbars_to_volume(
+    tbars: Tbars, shape, radius: float = 5.0, dtype=np.uint8
+) -> np.ndarray:
+    """Rasterize T-bar points into a binary label volume (ball stamping)."""
+    shape = to3d(shape)
+    vol = np.zeros(shape, dtype=dtype)
+    if len(tbars) == 0:
+        return vol
+    offs = _ball_offsets(radius)
+    centers = np.round(tbars.locs).astype(np.int64)
+    coords = centers[:, None, :] + offs[None, :, :]  # (N, K, 3)
+    coords = coords.reshape(-1, 3)
+    ok = np.all((coords >= 0) & (coords < np.asarray(shape)), axis=1)
+    coords = coords[ok]
+    vol[coords[:, 0], coords[:, 1], coords[:, 2]] = 1
+    return vol
+
+
+def make_training_volumes(
+    tbars: Tbars,
+    shape,
+    radius: float = 5.0,
+    radius_ign: float | None = None,
+    border=0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Build (labels, loss_mask) float32 volumes from point annotations.
+
+    labels: 1 inside a ``radius`` ball around each T-bar, else 0.
+    mask:   0 in the ``radius < d <= radius_ign`` annulus around each T-bar
+            (ambiguous) and within ``border`` voxels of the volume faces,
+            else 1.
+    """
+    shape = to3d(shape)
+    if radius_ign is None:
+        radius_ign = 2.0 * radius
+    labels = tbars_to_volume(tbars, shape, radius, dtype=np.float32)
+    ign = tbars_to_volume(tbars, shape, radius_ign, dtype=np.float32)
+    mask = 1.0 - np.clip(ign - labels, 0.0, 1.0)
+    bz, by, bx = to3d(border)
+    if any((bz, by, bx)):
+        edge = np.zeros(shape, dtype=bool)
+        edge[:] = True
+        edge[
+            bz : shape[0] - bz if bz else shape[0],
+            by : shape[1] - by if by else shape[1],
+            bx : shape[2] - bx if bx else shape[2],
+        ] = False
+        mask[edge] = 0.0
+    return labels, mask.astype(np.float32)

@@ -1,0 +1,151 @@
+"""FplNetwork — the flypylib-compatible public API surface.
+
+Parity: flypylib fplnetwork.FplNetwork (SURVEY.md section 2.2 row 1): owns
+a model from the zoo, trains on labeled volumes, runs fully-convolutional
+sliding-window inference on large volumes, and exposes the
+train / infer / nms / evaluate verbs end to end.
+
+Construction accepts either a zoo name (``FplNetwork("baseline")``), a zoo
+callable, or a ready ``ModelSpec`` — mirroring flypylib's
+``FplNetwork(model_fn)`` convention while staying functional underneath
+(params are an explicit pytree, never hidden mutable state).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from flypylib_tpu.infer.tiled import TiledInference
+from flypylib_tpu.io.synapses import Tbars, make_training_volumes
+from flypylib_tpu.models.zoo import MODEL_ZOO, ModelSpec
+from flypylib_tpu.ops.components import label_components
+from flypylib_tpu.ops.matching import obj_pr_curve
+from flypylib_tpu.ops.nms import nms
+from flypylib_tpu.train.trainer import TrainConfig, Trainer
+
+
+class FplNetwork:
+    def __init__(self, model="baseline", train_config: TrainConfig | None = None,
+                 seed: int = 0, **model_kwargs):
+        if isinstance(model, ModelSpec):
+            spec = model
+        elif callable(model):
+            spec = model(**model_kwargs)
+        else:
+            spec = MODEL_ZOO[model](**model_kwargs)
+        self.spec = spec
+        self.context = spec.context
+        self.trainer = Trainer(spec, train_config, seed=seed)
+        self._tiled: TiledInference | None = None
+
+    # -- train ------------------------------------------------------------
+    def train(
+        self,
+        image: np.ndarray,
+        labels: np.ndarray | None = None,
+        mask: np.ndarray | None = None,
+        tbars: Tbars | None = None,
+        epochs: int = 1,
+        radius: float = 5.0,
+        callback=None,
+    ):
+        """Train on a labeled cutout.
+
+        Either pass rasterized ``labels``+``mask`` volumes, or raw ``tbars``
+        annotations (rasterized here with the standard radius/ignore-annulus
+        rules; border masking uses the model context).
+        """
+        if labels is None:
+            if tbars is None:
+                raise ValueError("need labels+mask or tbars")
+            labels, mask = make_training_volumes(
+                tbars, image.shape, radius=radius, border=self.context
+            )
+        if mask is None:
+            mask = np.ones_like(labels, dtype=np.float32)
+        history = self.trainer.fit(image, labels, mask, epochs=epochs,
+                                   callback=callback)
+        self._tiled = None  # params changed; rebuild inference wrapper lazily
+        return history
+
+    @property
+    def variables(self):
+        state = self.trainer.state
+        if state is None:
+            self.trainer.init_state()
+            state = self.trainer.state
+        v = {"params": state.params}
+        if state.batch_stats:
+            v["batch_stats"] = state.batch_stats
+        return v
+
+    # -- infer ------------------------------------------------------------
+    def infer(
+        self,
+        volume: np.ndarray,
+        tile_out: int = 64,
+        tile_batch: int = 1,
+        keep_on_device: bool = False,
+    ):
+        """Whole-volume probability map via overlap-tiled inference."""
+        if (
+            self._tiled is None
+            or self._tiled.tile_out != self._tiled.spec.valid_size(
+                tile_out + 2 * self.context
+            ) - 2 * self.context
+            or self._tiled.tile_batch != tile_batch
+        ):
+            self._tiled = TiledInference(
+                self.spec, self.variables, tile_out=tile_out,
+                tile_batch=tile_batch,
+            )
+        else:
+            self._tiled.variables = self.variables
+        return self._tiled.infer(volume, keep_on_device=keep_on_device)
+
+    # -- nms / detect ------------------------------------------------------
+    @staticmethod
+    def nms(prob, window=3, threshold: float = 0.5) -> Tbars:
+        return nms(prob, window=window, threshold=threshold)
+
+    @staticmethod
+    def components(prob, threshold: float = 0.5) -> Tbars:
+        return label_components(prob, threshold=threshold)
+
+    def detect(
+        self,
+        volume: np.ndarray,
+        window=3,
+        threshold: float = 0.5,
+        tile_out: int = 64,
+        tile_batch: int = 1,
+        method: str = "nms",
+    ) -> Tbars:
+        """infer + nms/cc in one pass with the prob map kept in HBM."""
+        prob = self.infer(
+            volume, tile_out=tile_out, tile_batch=tile_batch,
+            keep_on_device=True,
+        )
+        if method == "nms":
+            return nms(prob, window=window, threshold=threshold)
+        elif method == "components":
+            return label_components(prob, threshold=threshold)
+        raise ValueError(f"unknown method {method!r}")
+
+    # -- evaluate ----------------------------------------------------------
+    @staticmethod
+    def evaluate(pred_or_prob, gt: Tbars, dist_thresh: float = 10.0,
+                 window=3, threshold: float = 0.5):
+        from flypylib_tpu.ops.matching import evaluate as _evaluate
+
+        return _evaluate(pred_or_prob, gt, dist_thresh=dist_thresh,
+                         window=window, threshold=threshold)
+
+    # -- checkpointing -----------------------------------------------------
+    def save(self, path: str):
+        self.trainer.save(path)
+
+    def restore(self, path: str):
+        self.trainer.restore(path)
+        self._tiled = None

@@ -1,0 +1,120 @@
+"""Device NMS / CC vs the host scipy reference — identical detection lists
+(SURVEY.md section 4 item 2: cross-checks incl. tie-breaking)."""
+
+import numpy as np
+import pytest
+
+from flypylib_tpu.ops.components import label_components
+from flypylib_tpu.ops.host_reference import components_host, nms_host
+from flypylib_tpu.ops.nms import nms
+from tests.conftest import make_blob_volume
+
+
+def _canonical(t):
+    """Order-robust canonicalization: sort by rounded (z, y, x) then conf,
+    so f32-vs-f64 centroid rounding can't flip the order of near-ties."""
+    locs = np.round(np.asarray(t.locs, np.float64), 3)
+    conf = np.round(np.asarray(t.conf, np.float64), 5)
+    order = np.lexsort((conf, locs[:, 2], locs[:, 1], locs[:, 0]))
+    return t.locs[order], t.conf[order]
+
+
+def assert_same_detections(a, b, loc_tol=0.0):
+    assert len(a) == len(b)
+    a_locs, a_conf = _canonical(a)
+    b_locs, b_conf = _canonical(b)
+    if loc_tol == 0.0:
+        np.testing.assert_array_equal(a_locs, b_locs)
+    else:
+        np.testing.assert_allclose(a_locs, b_locs, atol=loc_tol)
+    np.testing.assert_allclose(a_conf, b_conf, rtol=1e-6)
+
+
+def test_nms_matches_host_on_blobs(blob_volume):
+    vol, centers = blob_volume
+    host = nms_host(vol, window=3, threshold=0.5)
+    dev = nms(vol, window=3, threshold=0.5)
+    assert_same_detections(host, dev)
+    # peaks are at the blob centers
+    np.testing.assert_array_equal(
+        np.sort(host.locs, axis=0), np.sort(centers, axis=0)
+    )
+
+
+def test_nms_plateau_ties(rng):
+    vol = np.zeros((16, 16, 16), dtype=np.float32)
+    vol[5, 5, 5:8] = 0.9  # 3-voxel plateau
+    host = nms_host(vol, window=3, threshold=0.5)
+    dev = nms(vol, window=3, threshold=0.5)
+    # every plateau voxel is a candidate in both paths, same order
+    assert len(host) == 3
+    assert_same_detections(host, dev)
+
+
+def test_nms_edge_maxima():
+    vol = np.zeros((12, 12, 12), dtype=np.float32)
+    vol[0, 0, 0] = 0.7  # corner voxel is a local max (-inf out of bounds)
+    host = nms_host(vol, window=3, threshold=0.5)
+    dev = nms(vol, window=3, threshold=0.5)
+    assert len(host) == 1
+    np.testing.assert_array_equal(host.locs[0], [0, 0, 0])
+    assert_same_detections(host, dev)
+
+
+def test_nms_random_volume_exact(rng):
+    vol = rng.random((32, 32, 32)).astype(np.float32)
+    host = nms_host(vol, window=3, threshold=0.8)
+    dev = nms(vol, window=3, threshold=0.8)
+    assert len(host) > 0
+    assert_same_detections(host, dev)
+
+
+@pytest.mark.parametrize("window", [3, 5, (3, 5, 7)])
+def test_nms_window_shapes(rng, window):
+    vol = rng.random((24, 24, 24)).astype(np.float32)
+    assert_same_detections(
+        nms_host(vol, window=window, threshold=0.7),
+        nms(vol, window=window, threshold=0.7),
+    )
+
+
+def test_nms_overflow_grows():
+    vol = np.zeros((8, 8, 8), dtype=np.float32)
+    vol[::2, ::2, ::2] = 0.9  # 64 isolated maxima
+    dev = nms(vol, window=2, threshold=0.5, max_detections=8)
+    host = nms_host(vol, window=2, threshold=0.5)
+    assert_same_detections(host, dev)
+
+
+def test_components_simple_blobs(blob_volume):
+    vol, centers = blob_volume
+    host = components_host(vol, threshold=0.5)
+    dev = label_components(vol, threshold=0.5)
+    assert len(host) == len(centers)
+    assert_same_detections(host, dev, loc_tol=1e-4)
+
+
+def test_components_touching_vs_separate():
+    vol = np.zeros((20, 20, 20), dtype=np.float32)
+    vol[5, 5, 5] = 0.9
+    vol[5, 5, 6] = 0.8  # 6-connected with above -> same component
+    vol[5, 6, 6] = 0.7  # 6-connected chain
+    vol[10, 10, 10] = 0.6  # separate
+    vol[11, 11, 11] = 0.6  # diagonal only -> separate under 6-connectivity
+    host = components_host(vol, threshold=0.5)
+    dev = label_components(vol, threshold=0.5)
+    assert len(host) == 3
+    assert_same_detections(host, dev, loc_tol=1e-4)
+
+
+def test_components_random_exact_count(rng):
+    vol = (rng.random((24, 24, 24)) > 0.7).astype(np.float32)
+    host = components_host(vol, threshold=0.5)
+    dev = label_components(vol, threshold=0.5, max_components=64)
+    assert_same_detections(host, dev, loc_tol=1e-3)
+
+
+def test_components_empty():
+    vol = np.zeros((8, 8, 8), dtype=np.float32)
+    assert len(label_components(vol, threshold=0.5)) == 0
+    assert len(components_host(vol, threshold=0.5)) == 0

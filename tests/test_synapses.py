@@ -1,0 +1,81 @@
+import json
+
+import numpy as np
+
+from flypylib_tpu.io.synapses import (
+    Tbars,
+    load_from_json,
+    make_training_volumes,
+    save_to_json,
+    tbars_to_volume,
+)
+
+
+def test_load_raveler_style(tmp_path):
+    obj = {
+        "data": [
+            {"T-bar": {"location": [10, 20, 30], "confidence": 0.9},
+             "partners": []},
+            {"T-bar": {"location": [1, 2, 3]}, "partners": []},
+        ]
+    }
+    p = tmp_path / "tbars.json"
+    p.write_text(json.dumps(obj))
+    tb = load_from_json(str(p))
+    assert len(tb) == 2
+    # JSON is [x,y,z]; internal is (z,y,x)
+    np.testing.assert_array_equal(tb.locs[0], [30, 20, 10])
+    assert tb.conf[0] == 0.9 and tb.conf[1] == 1.0
+
+
+def test_load_dvid_style():
+    obj = [
+        {"Kind": "PreSyn", "Pos": [5, 6, 7], "Prop": {"conf": "0.8"}},
+        {"Kind": "PostSyn", "Pos": [1, 1, 1]},
+    ]
+    tb = load_from_json(obj)
+    assert len(tb) == 1
+    np.testing.assert_array_equal(tb.locs[0], [7, 6, 5])
+    assert tb.conf[0] == 0.8
+
+
+def test_save_roundtrip(tmp_path):
+    tb = Tbars(locs=[[3, 2, 1], [9, 8, 7]], conf=[0.5, 0.25])
+    for style in ("raveler", "dvid"):
+        p = tmp_path / f"out_{style}.json"
+        save_to_json(tb, str(p), style=style)
+        back = load_from_json(str(p))
+        np.testing.assert_array_equal(back.locs, tb.locs)
+        np.testing.assert_allclose(back.conf, tb.conf)
+
+
+def test_rasterize_ball():
+    tb = Tbars(locs=[[10, 10, 10]])
+    vol = tbars_to_volume(tb, 21, radius=3)
+    assert vol[10, 10, 10] == 1
+    assert vol[10, 10, 13] == 1  # distance exactly 3 (inclusive)
+    assert vol[10, 10, 14] == 0
+    assert vol[12, 12, 10] == 1  # sqrt(8) < 3 -> inside
+    # volume matches analytic ball voxel count
+    g = np.arange(-3, 4)
+    zz, yy, xx = np.meshgrid(g, g, g, indexing="ij")
+    expected = int(np.sum(zz**2 + yy**2 + xx**2 <= 9))
+    assert vol.sum() == expected
+
+
+def test_rasterize_clips_at_edges():
+    tb = Tbars(locs=[[0, 0, 0]])
+    vol = tbars_to_volume(tb, 10, radius=3)
+    assert vol[0, 0, 0] == 1 and vol.sum() > 0
+
+
+def test_training_volumes_mask_semantics():
+    tb = Tbars(locs=[[16, 16, 16]])
+    labels, mask = make_training_volumes(tb, 33, radius=3, radius_ign=6,
+                                         border=2)
+    assert labels[16, 16, 16] == 1
+    assert mask[16, 16, 16] == 1  # positives stay in the mask
+    assert mask[16, 16, 21] == 0  # annulus (d=5) ignored
+    assert mask[16, 16, 25] == 1  # outside annulus
+    assert mask[0, 16, 16] == 0 and mask[1, 16, 16] == 0  # border
+    assert mask[2, 16, 16] == 1

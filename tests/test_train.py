@@ -1,0 +1,75 @@
+"""Train smoke tests: loss decreases on synthetic data; determinism under
+fixed PRNG (SURVEY.md section 4 item 5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flypylib_tpu.io.synapses import Tbars, make_training_volumes
+from flypylib_tpu.models.zoo import baseline_model
+from flypylib_tpu.train.trainer import TrainConfig, Trainer
+from tests.conftest import make_blob_volume
+
+
+def synthetic_task(size=48, n_pts=6, seed=0):
+    """Bright Gaussian blobs on noise; labels = balls at blob centers."""
+    rng = np.random.default_rng(seed)
+    centers = rng.integers(8, size - 8, (n_pts, 3))
+    image, _ = make_blob_volume((size,) * 3, centers=centers, sigma=2.0)
+    image = image + rng.normal(0, 0.05, image.shape).astype(np.float32)
+    tb = Tbars(locs=centers.astype(np.float64))
+    labels, mask = make_training_volumes(tb, size, radius=2, radius_ign=4)
+    return image.astype(np.float32), labels, mask, tb
+
+
+def small_spec():
+    return baseline_model(features=(8, 8), dilations=(1, 1), head_features=16,
+                          dtype=jnp.float32)
+
+
+def test_loss_decreases():
+    image, labels, mask, _ = synthetic_task()
+    cfg = TrainConfig(patch_size=17, batch_size=16, steps_per_epoch=30,
+                      learning_rate=3e-3)
+    tr = Trainer(small_spec(), cfg, seed=0)
+    hist = tr.fit(image, labels, mask, epochs=2)
+    assert hist[-1]["loss"] < hist[0]["loss"]
+    assert hist[-1]["loss"] < 0.4
+
+
+def test_determinism():
+    image, labels, mask, _ = synthetic_task()
+    cfg = TrainConfig(patch_size=13, batch_size=8, steps_per_epoch=5)
+    h1 = Trainer(small_spec(), cfg, seed=7).fit(image, labels, mask)
+    h2 = Trainer(small_spec(), cfg, seed=7).fit(image, labels, mask)
+    assert h1[0]["loss"] == h2[0]["loss"]
+
+
+def test_masked_loss_ignores_masked_voxels():
+    from flypylib_tpu.train.trainer import masked_bce_loss
+
+    logits = jnp.array([[10.0, -10.0]])
+    labels = jnp.array([[0.0, 0.0]])
+    # first voxel badly wrong but masked out -> loss ~ 0
+    mask = jnp.array([[0.0, 1.0]])
+    assert float(masked_bce_loss(logits, labels, mask)) < 1e-3
+    mask2 = jnp.array([[1.0, 1.0]])
+    assert float(masked_bce_loss(logits, labels, mask2)) > 1.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    image, labels, mask, _ = synthetic_task()
+    cfg = TrainConfig(patch_size=13, batch_size=4, steps_per_epoch=2)
+    tr = Trainer(small_spec(), cfg, seed=0)
+    tr.fit(image, labels, mask)
+    path = str(tmp_path / "ckpt")
+    tr.save(path)
+    tr2 = Trainer(small_spec(), cfg, seed=1)
+    tr2.init_state()
+    tr2.restore(path)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(tr.state.params),
+        jax.tree_util.tree_leaves(tr2.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
