@@ -91,6 +91,41 @@ class TiledInference:
 
         self._scatter = scatter
 
+        @functools.partial(jax.jit, static_argnames=("out_shape",))
+        def run_device(variables, padded, corners, out_shape):
+            """Whole-volume inference in ONE dispatch: the padded volume
+            lives in HBM and a lax.scan slices, runs, and stitches every
+            tile batch on device — no per-tile host round-trips."""
+            out = jnp.zeros(out_shape, dtype=jnp.float32)
+
+            def body(out, corner_batch):
+                tiles = jax.vmap(
+                    lambda c: jax.lax.dynamic_slice(
+                        padded, (c[0], c[1], c[2]), (tin, tin, tin)
+                    )
+                )(corner_batch)
+                logits = spec.module.apply(
+                    variables, tiles[..., None], train=False
+                )
+                probs = jax.nn.sigmoid(logits[..., 0])
+
+                def write(out, args):
+                    tile, c = args
+                    return (
+                        jax.lax.dynamic_update_slice(
+                            out, tile, (c[0], c[1], c[2])
+                        ),
+                        None,
+                    )
+
+                out, _ = jax.lax.scan(write, out, (probs, corner_batch))
+                return out, None
+
+            out, _ = jax.lax.scan(body, out, corners)
+            return out
+
+        self._run_device = run_device
+
     def _axis_plan(self, size: int) -> tuple[list[int], int]:
         """(aligned tile starts, padded output extent) for one axis."""
         k = max(0, ceil_div(size - self.tile_out, self.stride))
@@ -110,8 +145,20 @@ class TiledInference:
         padded_shape = tuple(p[1] for p in per_axis)
         return corners, padded_shape
 
-    def infer(self, volume: np.ndarray, keep_on_device: bool = False):
-        """Full-volume probability map, same shape as ``volume``."""
+    def infer(
+        self,
+        volume: np.ndarray,
+        keep_on_device: bool = False,
+        host_stream: bool = False,
+    ):
+        """Full-volume probability map, same shape as ``volume``.
+
+        Default path uploads the (padded) volume to HBM once and runs the
+        whole tile sweep in a single dispatch (``host_stream=False``);
+        set ``host_stream=True`` for volumes too large to hold padded
+        input + output in HBM simultaneously — tiles are then fed from
+        host with double buffering.
+        """
         vol = np.asarray(volume, dtype=np.float32)
         shape = vol.shape
         c = self.ctx
@@ -131,6 +178,18 @@ class TiledInference:
         # pad the last batch by repeating the final corner: duplicate writes
         # are bitwise identical, so stitch order is irrelevant
         corners_padded = corners + [corners[-1]] * (n_batches * B - n)
+
+        if not host_stream:
+            corner_arr = jnp.asarray(
+                np.asarray(corners_padded, dtype=np.int32).reshape(
+                    n_batches, B, 3
+                )
+            )
+            out = self._run_device(
+                self.variables, jnp.asarray(padded), corner_arr, out_shape
+            )
+            out = out[: shape[0], : shape[1], : shape[2]]
+            return out if keep_on_device else np.asarray(out)
 
         def make_batch(bi):
             cs = corners_padded[bi * B : (bi + 1) * B]

@@ -6,12 +6,18 @@ centroids with the component max probability as confidence (SURVEY.md
 section 3.3; semantics pinned in flypylib_tpu.ops.host_reference).
 
 XLA has no native CC, so labeling runs as an iterative fixed point
-(SURVEY.md section 7.3): each voxel's label starts as its own flat index,
-every sweep takes the min over 6-neighbors (within the mask), then two
-pointer-jumping steps (``label = label[label[label]]``) contract long paths,
-giving O(log diameter)-ish convergence inside a ``lax.while_loop``.
-Centroids/conf are extracted with static-size ``jnp.unique`` + segment
-reductions so everything stays on device with static shapes.
+(SURVEY.md section 7.3): each voxel's label starts as its own flat index
+and every sweep takes the min over 6-neighbors within the mask.  Sweeps
+are pure shifted-element-wise mins (VPU-friendly, no gathers); several
+sweeps run between convergence checks to amortize the check.  An optional
+pointer-jumping step (``label = label[label]``, a gather) contracts long
+chains for high-diameter masks — off by default because random-access
+gathers are slow on TPU and synapse-scale components have small diameter.
+
+Extraction stays on device with static shapes: component roots (voxels
+whose label is their own index) are compacted with ``lax.top_k`` over
+negated flat indices — no full-volume sort — then centroids/conf come from
+segment reductions keyed by ``searchsorted`` compact ids.
 """
 
 from __future__ import annotations
@@ -41,17 +47,23 @@ def _neighbor_min(lab: jax.Array, mask: jax.Array, sentinel) -> jax.Array:
     return jnp.where(mask, out, sentinel)
 
 
-@functools.partial(jax.jit, static_argnames=("threshold", "max_components"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_components", "sweeps_per_check", "pointer_jump"),
+)
 def components_device(
     prob: jax.Array,
-    threshold: float = 0.5,
+    threshold=0.5,
     max_components: int = 1024,
+    sweeps_per_check: int = 4,
+    pointer_jump: bool = False,
 ):
     """On-device CC: returns (centroids (K,3) f32, conf (K,) f32,
     valid (K,) bool, overflowed () bool)."""
     prob = prob.astype(jnp.float32)
     shape = prob.shape
     n = int(np.prod(shape))
+    max_components = min(max_components, n)
     sentinel = jnp.int32(n)
     mask = prob >= threshold
 
@@ -60,12 +72,15 @@ def components_device(
 
     def jump(lab):
         flat = jnp.concatenate([lab.reshape(-1), sentinel[None]])
-        return flat[flat[lab]]
+        return flat[lab]
 
     def body(state):
         lab, _ = state
-        new = _neighbor_min(lab, mask, sentinel)
-        new = jump(jump(new))
+        new = lab
+        for _ in range(sweeps_per_check):
+            new = _neighbor_min(new, mask, sentinel)
+        if pointer_jump:
+            new = jump(new)
         return new, jnp.any(new != lab)
 
     def cond(state):
@@ -74,11 +89,18 @@ def components_device(
     lab, _ = lax.while_loop(cond, body, (lab, jnp.bool_(True)))
 
     roots = lab.reshape(-1)
-    # number of distinct components = number of self-rooted masked voxels
-    n_comp = jnp.sum((roots == jnp.arange(n, dtype=jnp.int32)) & mask.reshape(-1))
+    flat_idx = jnp.arange(n, dtype=jnp.int32)
+    rep = (roots == flat_idx) & mask.reshape(-1)
+    n_comp = jnp.sum(rep)
     overflowed = n_comp > max_components
 
-    uniq = jnp.unique(roots, size=max_components + 1, fill_value=sentinel)
+    # compact root ids without a full-volume sort: top_k over -index keeps
+    # the (<= K) representative indices, descending -idx == ascending idx,
+    # invalid slots become a huge ascending-compatible sentinel
+    fill = jnp.iinfo(jnp.int32).min + 1
+    key = jnp.where(rep, -flat_idx, fill)
+    neg_roots, _ = lax.top_k(key, max_components)
+    uniq = -neg_roots  # ascending: real roots first, then ~2^31 sentinels
     seg = jnp.searchsorted(uniq, roots).astype(jnp.int32)
 
     zz = (idx // (shape[1] * shape[2])).reshape(-1).astype(jnp.float32)
@@ -86,25 +108,23 @@ def components_device(
     xx = (idx % shape[2]).reshape(-1).astype(jnp.float32)
 
     num_segments = max_components + 1
-    count = jax.ops.segment_sum(
-        mask.reshape(-1).astype(jnp.float32), seg, num_segments
-    )
+    seg = jnp.minimum(seg, num_segments - 1)
+    mflat = mask.reshape(-1).astype(jnp.float32)
+    count = jax.ops.segment_sum(mflat, seg, num_segments)
     sums = jnp.stack(
-        [
-            jax.ops.segment_sum(c * mask.reshape(-1), seg, num_segments)
-            for c in (zz, yy, xx)
-        ],
+        [jax.ops.segment_sum(c * mflat, seg, num_segments) for c in (zz, yy, xx)],
         axis=1,
     )
     conf = jax.ops.segment_max(
-        jnp.where(mask.reshape(-1), prob.reshape(-1), -jnp.inf), seg, num_segments
+        jnp.where(mask.reshape(-1), prob.reshape(-1), -jnp.inf), seg,
+        num_segments,
     )
-    valid = (uniq < sentinel) & (count > 0)
+    valid = (uniq < sentinel) & (count[:max_components] > 0)
     centroids = sums / jnp.maximum(count, 1.0)[:, None]
     return (
         centroids[:max_components],
         conf[:max_components],
-        valid[:max_components],
+        valid,
         overflowed,
     )
 

@@ -25,8 +25,9 @@ from flypylib_tpu.io.synapses import Tbars
 from flypylib_tpu.utils import to3d
 
 
-def candidate_mask(prob: jax.Array, window=3, threshold: float = 0.5) -> jax.Array:
-    """Boolean mask of NMS candidates. jit-safe; window/threshold static."""
+def candidate_mask(prob: jax.Array, window=3, threshold=0.5) -> jax.Array:
+    """Boolean mask of NMS candidates. jit-safe; window static, threshold
+    may be a traced scalar (threshold sweeps don't recompile)."""
     win = to3d(window)
     pads = [(w // 2, w - 1 - w // 2) for w in win]
     mf = lax.reduce_window(
@@ -40,11 +41,11 @@ def candidate_mask(prob: jax.Array, window=3, threshold: float = 0.5) -> jax.Arr
     return (prob == mf) & (prob >= threshold)
 
 
-@functools.partial(jax.jit, static_argnames=("window", "threshold", "max_detections"))
+@functools.partial(jax.jit, static_argnames=("window", "max_detections"))
 def nms_device(
     prob: jax.Array,
     window=3,
-    threshold: float = 0.5,
+    threshold=0.5,
     max_detections: int = 4096,
 ):
     """On-device NMS: returns (locs (k,3) int32, conf (k,) f32, valid (k,) bool).
@@ -70,7 +71,7 @@ _count_candidates = jax.jit(
     lambda prob, window, threshold: jnp.sum(
         candidate_mask(prob, window, threshold), dtype=jnp.int32
     ),
-    static_argnames=("window", "threshold"),
+    static_argnames=("window",),
 )
 
 

@@ -1,0 +1,174 @@
+"""Volume-sharded inference and NMS with ICI halo exchange.
+
+This is the TPU-native analog of flypylib's inference-side parallelism
+(volume blocks split across GPU threads, SURVEY.md section 3.2) and the
+"spatial sequence-parallelism" called for by SURVEY.md sections 2.3/5 and
+eval configs 2/5 [B:8][B:11]:
+
+- the volume is sharded along z over the mesh's ``space`` axis;
+- each shard exchanges ``context``-deep boundary slabs with its neighbors
+  via ``lax.ppermute`` (compiled to ICI sends, not host round-trips);
+- edge shards substitute the host-computed reflect padding;
+- the fully-convolutional forward then runs per shard, producing exactly
+  its slab of the global probability map — bitwise equal to a monolithic
+  run because every conv is VALID;
+- sharded NMS repeats the same halo trick with the NMS window and extracts
+  per-shard top-k candidates with *global* coordinates, so the merge is a
+  trivial host-side concatenation of tiny detection lists (the "NMS merge
+  over ICI" of [B:11] — the map itself never moves).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from flypylib_tpu.io.synapses import Tbars
+from flypylib_tpu.models.zoo import ModelSpec
+from flypylib_tpu.ops.host_reference import sort_detections
+from flypylib_tpu.utils import round_up, to3d
+
+
+def _edge_halo_exchange(slab, lo_pad, hi_pad, depth_lo, depth_hi, axis):
+    """Exchange z-boundary slabs with mesh neighbors; edge shards take the
+    provided pads.  slab: (S, Y, X); returns (lo, hi) halo blocks."""
+    n = lax.axis_size(axis)
+    i = lax.axis_index(axis)
+    down = [(j, j + 1) for j in range(n - 1)]  # j's planes -> j+1's lo halo
+    up = [(j + 1, j) for j in range(n - 1)]  # j+1's planes -> j's hi halo
+    lo = lax.ppermute(slab[slab.shape[0] - depth_lo :], axis, down)
+    hi = lax.ppermute(slab[:depth_hi], axis, up)
+    lo = jnp.where(i == 0, lo_pad, lo)
+    hi = jnp.where(i == n - 1, hi_pad, hi)
+    return lo, hi
+
+
+def sharded_infer(
+    spec: ModelSpec,
+    variables,
+    volume: np.ndarray,
+    mesh: Mesh,
+    axis: str = "space",
+    pad_mode: str = "reflect",
+):
+    """Volume-sharded whole-volume inference over a 1-D mesh axis.
+
+    Returns the full probability map as a z-sharded global jax array
+    (same shape as ``volume``).  Each shard's forward runs over its whole
+    slab; combine with tile batching for slabs too big for HBM.
+    """
+    n = mesh.shape[axis]
+    c = spec.context
+    vol = np.asarray(volume, dtype=np.float32)
+    vz, vy, vx = vol.shape
+
+    # host prep: reflect-pad y/x by the context; extend z to a multiple of
+    # the shard count (reflect), remembering the crop
+    vz_p = round_up(vz, n)
+    s = vz_p // n
+    if s < c:
+        raise ValueError(f"z-slab {s} thinner than context {c}")
+    if spec.size_multiple > 1 and s % spec.size_multiple != 0:
+        raise ValueError(
+            f"z-slab {s} must be a multiple of {spec.size_multiple} for "
+            f"pooling-phase alignment"
+        )
+    # ONE reflect pad of the original volume covers the low halo, the
+    # z-extension, and the high halo — so every input plane matches what a
+    # monolithic context-padded run would see (two-stage padding would
+    # reflect the already-reflected extension and diverge)
+    padded_all = np.pad(
+        vol,
+        ((c, c + (vz_p - vz)), (c, c), (c, c)),
+        mode=pad_mode,
+    )
+    zpad_lo = jnp.asarray(padded_all[:c])
+    zpad_hi = jnp.asarray(padded_all[c + vz_p :])
+    work = jnp.asarray(padded_all[c : c + vz_p])
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None, None), P(), P()),
+        out_specs=P(axis, None, None),
+        check_vma=False,
+    )
+    def fn(variables, slab, lo_pad, hi_pad):
+        lo, hi = _edge_halo_exchange(slab, lo_pad, hi_pad, c, c, axis)
+        x = jnp.concatenate([lo, slab, hi], axis=0)
+        logits = spec.module.apply(variables, x[None, ..., None], train=False)
+        return jax.nn.sigmoid(logits[0, ..., 0])
+
+    out = jax.jit(fn)(variables, work, zpad_lo, zpad_hi)
+    return out[:vz]
+
+
+def sharded_nms(
+    prob,
+    mesh: Mesh,
+    axis: str = "space",
+    window=3,
+    threshold: float = 0.5,
+    max_per_shard: int = 1024,
+) -> Tbars:
+    """NMS on a z-sharded probability map with ICI halo exchange.
+
+    Per-shard candidates are extracted with *global* z coordinates; the
+    cross-shard merge is exact because each shard's max-filter sees the
+    true neighbor planes via the halo — a voxel at a shard seam is a
+    candidate iff it would be in a monolithic NMS.
+    """
+    wz, wy, wx = to3d(window)
+    hl, hh = wz // 2, wz - 1 - wz // 2
+    n = mesh.shape[axis]
+    prob = jnp.asarray(prob, dtype=jnp.float32)
+    vz, vy, vx = prob.shape
+    if vz % n != 0:
+        prob = jnp.pad(
+            prob, ((0, round_up(vz, n) - vz), (0, 0), (0, 0)),
+            constant_values=-jnp.inf,
+        )
+    s = prob.shape[0] // n
+    neg = jnp.full((max(hl, hh), vy, vx), -jnp.inf, dtype=jnp.float32)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None, None),),
+        out_specs=(P(axis, None), P(axis), P(axis)),
+        check_vma=False,
+    )
+    def fn(slab):
+        i = lax.axis_index(axis)
+        lo, hi = _edge_halo_exchange(slab, neg[:hl], neg[:hh], hl, hh, axis)
+        ext = jnp.concatenate([lo, slab, hi], axis=0)
+        mf = lax.reduce_window(
+            ext, -jnp.inf, lax.max,
+            window_dimensions=(wz, wy, wx), window_strides=(1, 1, 1),
+            padding=[(0, 0), (wy // 2, wy - 1 - wy // 2),
+                     (wx // 2, wx - 1 - wx // 2)],
+        )
+        mask = (slab == mf) & (slab >= threshold)
+        flat = jnp.where(mask.reshape(-1), slab.reshape(-1), -jnp.inf)
+        conf, idx = lax.top_k(flat, max_per_shard)
+        valid = conf > -jnp.inf
+        z = idx // (vy * vx) + i * s  # global z
+        rem = idx % (vy * vx)
+        locs = jnp.stack([z, rem // vx, rem % vx], axis=1).astype(jnp.int32)
+        return locs, conf, valid
+
+    locs, conf, valid = jax.jit(fn)(prob)
+    locs, conf, valid = (np.asarray(locs), np.asarray(conf), np.asarray(valid))
+    if max_per_shard < s * vy * vx and valid.reshape(n, -1).all(axis=1).any():
+        raise RuntimeError(
+            f"sharded_nms: a shard saturated max_per_shard={max_per_shard}; "
+            "raise max_per_shard"
+        )
+    keep = valid & (locs[:, 0] < vz)
+    return sort_detections(locs[keep].astype(np.float64), conf[keep])

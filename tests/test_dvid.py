@@ -1,0 +1,94 @@
+"""DVIDClient against a local mock HTTP server (no network egress)."""
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import numpy as np
+import pytest
+
+from flypylib_tpu.io.dvid import DVIDClient
+from flypylib_tpu.io.synapses import Tbars
+
+
+class MockDVID(BaseHTTPRequestHandler):
+    volume = None  # (z, y, x) uint8, set by fixture
+    posted = []
+
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):
+        parts = self.path.strip("/").split("/")
+        # /api/node/{uuid}/{instance}/raw/0_1_2/{sx}_{sy}_{sz}/{ox}_{oy}_{oz}
+        if "raw" in parts:
+            i = parts.index("raw")
+            sx, sy, sz = map(int, parts[i + 2].split("_"))
+            ox, oy, oz = map(int, parts[i + 3].split("_"))
+            cut = self.volume[oz : oz + sz, oy : oy + sy, ox : ox + sx]
+            data = np.ascontiguousarray(cut).tobytes()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+        elif "elements" in parts:
+            els = [
+                {"Kind": "PreSyn", "Pos": [3, 2, 1], "Prop": {"conf": "0.75"}}
+            ]
+            data = json.dumps(els).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+        else:
+            self.send_response(404)
+            self.end_headers()
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        MockDVID.posted.append(json.loads(self.rfile.read(n)))
+        self.send_response(200)
+        self.end_headers()
+
+
+@pytest.fixture
+def mock_server():
+    rng = np.random.default_rng(0)
+    MockDVID.volume = rng.integers(0, 256, (16, 20, 24)).astype(np.uint8)
+    MockDVID.posted = []
+    srv = HTTPServer(("127.0.0.1", 0), MockDVID)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"127.0.0.1:{srv.server_port}", MockDVID
+    srv.shutdown()
+
+
+def test_get_gray3d(mock_server):
+    addr, mock = mock_server
+    client = DVIDClient(addr, "abc123")
+    cut = client.get_gray3d("grayscale", size=(8, 10, 12), offset=(2, 3, 4))
+    assert cut.shape == (8, 10, 12)
+    np.testing.assert_array_equal(
+        cut, mock.volume[2:10, 3:13, 4:16]
+    )
+
+
+def test_get_annotations(mock_server):
+    addr, _ = mock_server
+    client = DVIDClient(addr, "abc123")
+    tb = client.get_annotations("synapses", size=(16, 20, 24), offset=(0, 0, 0))
+    assert len(tb) == 1
+    np.testing.assert_array_equal(tb.locs[0], [1, 2, 3])  # zyx of Pos [3,2,1]
+    assert tb.conf[0] == 0.75
+
+
+def test_post_annotations(mock_server):
+    addr, mock = mock_server
+    client = DVIDClient(addr, "abc123")
+    client.post_annotations(
+        "synapses", Tbars(locs=[[5, 6, 7]], conf=[0.5])
+    )
+    assert len(mock.posted) == 1
+    el = mock.posted[0][0]
+    assert el["Kind"] == "PreSyn"
+    assert el["Pos"] == [7, 6, 5]

@@ -1,0 +1,72 @@
+"""FplNetwork public API surface: train/infer/nms/evaluate end to end
+(parity: flypylib's canonical loop, SURVEY.md section 1)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import flypylib_tpu as fpl
+from flypylib_tpu.io.synapses import Tbars
+from flypylib_tpu.models.zoo import baseline_model
+from flypylib_tpu.train.trainer import TrainConfig
+from tests.conftest import make_blob_volume
+
+
+@pytest.fixture(scope="module")
+def trained_net():
+    rng = np.random.default_rng(0)
+    centers = rng.integers(8, 40, (6, 3))
+    image, _ = make_blob_volume((48,) * 3, centers=centers, sigma=2.0)
+    image = image + rng.normal(0, 0.05, image.shape).astype(np.float32)
+    tb = Tbars(locs=centers.astype(np.float64))
+    spec = baseline_model(features=(8, 8), dilations=(1, 1), head_features=16,
+                          dtype=jnp.float32)
+    net = fpl.FplNetwork(
+        spec,
+        train_config=TrainConfig(patch_size=17, batch_size=16,
+                                 steps_per_epoch=40, learning_rate=3e-3),
+    )
+    hist = net.train(image.astype(np.float32), tbars=tb, epochs=4, radius=2)
+    return net, image.astype(np.float32), tb, hist
+
+
+def test_train_decreases_loss(trained_net):
+    _, _, _, hist = trained_net
+    assert hist[-1]["loss"] < hist[0]["loss"]
+
+
+def test_infer_and_detect(trained_net):
+    net, image, tb, _ = trained_net
+    prob = net.infer(image, tile_out=24)
+    assert prob.shape == image.shape
+    assert prob.min() >= 0 and prob.max() <= 1
+    det = net.detect(image, window=3, threshold=0.3, tile_out=24)
+    # detections land near the true centers
+    curve = net.evaluate(det, tb, dist_thresh=3.0)
+    assert curve["recall"][-1] > 0.8
+
+
+def test_nms_components_verbs(trained_net):
+    net, image, _, _ = trained_net
+    prob = net.infer(image, tile_out=24)
+    d1 = net.nms(prob, window=3, threshold=0.3)
+    d2 = net.components(prob, threshold=0.3)
+    assert len(d1) > 0 and len(d2) > 0
+
+
+def test_checkpoint_roundtrip(trained_net, tmp_path):
+    net, image, _, _ = trained_net
+    prob1 = net.infer(image, tile_out=24)
+    net.save(str(tmp_path / "ck"))
+    spec2 = baseline_model(features=(8, 8), dilations=(1, 1),
+                           head_features=16, dtype=jnp.float32)
+    net2 = fpl.FplNetwork(spec2)
+    net2.restore(str(tmp_path / "ck"))
+    prob2 = net2.infer(image, tile_out=24)
+    np.testing.assert_array_equal(prob1, prob2)
+
+
+def test_model_zoo_names():
+    for name in ("baseline", "vgg_like", "unet"):
+        net = fpl.FplNetwork(name)
+        assert net.context > 0

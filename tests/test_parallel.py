@@ -1,0 +1,149 @@
+"""Multi-chip logic on the virtual 8-device CPU mesh (SURVEY.md section 4
+item 4): sharded inference == monolithic, seam-correct sharded NMS,
+data-parallel training step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flypylib_tpu.models.zoo import baseline_model
+from flypylib_tpu.ops.host_reference import nms_host
+from flypylib_tpu.parallel import (
+    make_dp_train_step,
+    make_mesh,
+    sharded_infer,
+    sharded_nms,
+)
+from flypylib_tpu.train.trainer import TrainConfig, Trainer
+from tests.conftest import make_blob_volume
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    spec = baseline_model(features=(4, 6), dilations=(1, 2), head_features=8,
+                          dtype=jnp.float32)
+    variables = spec.init(jax.random.PRNGKey(0), 16)
+    return spec, variables
+
+
+def monolithic(spec, variables, vol):
+    c = spec.context
+    padded = np.pad(vol, c, mode="reflect")
+    x = jnp.asarray(padded[None, ..., None], dtype=jnp.float32)
+    logits = spec.module.apply(variables, x, train=False)
+    return np.asarray(jax.nn.sigmoid(logits[0, ..., 0]))
+
+
+def test_sharded_infer_equals_monolithic(small_model, rng):
+    spec, variables = small_model
+    mesh = make_mesh(4, axis="space")
+    vol = rng.random((32, 20, 20)).astype(np.float32)
+    mono = monolithic(spec, variables, vol)
+    shard = np.asarray(sharded_infer(spec, variables, vol, mesh))
+    np.testing.assert_array_equal(shard, mono)
+
+
+def test_sharded_infer_nondivisible_z(small_model, rng):
+    spec, variables = small_model
+    mesh = make_mesh(4, axis="space")
+    vol = rng.random((30, 16, 16)).astype(np.float32)
+    mono = monolithic(spec, variables, vol)
+    shard = np.asarray(sharded_infer(spec, variables, vol, mesh))
+    np.testing.assert_array_equal(shard, mono)
+
+
+def test_sharded_nms_seams(rng):
+    """Peaks placed exactly at shard boundaries must not duplicate/vanish."""
+    mesh = make_mesh(4, axis="space")
+    vol = np.zeros((32, 16, 16), dtype=np.float32)
+    # slab size 8: isolated peaks at/adjacent to seams (different y/x so
+    # none suppresses another), plus one that IS suppressed across a seam
+    for z, y, x, v in [
+        (7, 4, 4, 0.9), (8, 8, 8, 0.8), (15, 12, 12, 0.95),
+        (16, 4, 12, 0.7), (24, 12, 4, 0.85),
+        (23, 12, 4, 0.84),  # adjacent to the 0.85 peak -> suppressed
+    ]:
+        vol[z, y, x] = v
+    host = nms_host(vol, window=3, threshold=0.5)
+    dev = sharded_nms(vol, mesh, window=3, threshold=0.5, max_per_shard=16)
+    assert len(host) == 5
+    np.testing.assert_array_equal(host.locs, dev.locs)
+    np.testing.assert_allclose(host.conf, dev.conf, rtol=1e-6)
+
+
+def test_sharded_nms_plateau_across_seam():
+    mesh = make_mesh(4, axis="space")
+    vol = np.zeros((32, 16, 16), dtype=np.float32)
+    vol[7:10, 8, 8] = 0.9  # plateau spanning the z=8 seam
+    host = nms_host(vol, window=3, threshold=0.5)
+    dev = sharded_nms(vol, mesh, window=3, threshold=0.5, max_per_shard=16)
+    assert len(host) == len(dev) == 3
+    np.testing.assert_array_equal(host.locs, dev.locs)
+
+
+def test_sharded_nms_random(rng):
+    mesh = make_mesh(8, axis="space")
+    vol = rng.random((40, 24, 24)).astype(np.float32)
+    host = nms_host(vol, window=3, threshold=0.85)
+    dev = sharded_nms(vol, mesh, window=3, threshold=0.85,
+                      max_per_shard=256)
+    assert len(host) > 0
+    np.testing.assert_array_equal(host.locs, dev.locs)
+    np.testing.assert_allclose(host.conf, dev.conf, rtol=1e-6)
+
+
+def test_dp_train_step_matches_single_chip():
+    """Same seed => DP-sharded step produces the same params as single."""
+    from flypylib_tpu.train.trainer import make_train_step
+
+    spec = baseline_model(features=(4,), dilations=(1,), head_features=8,
+                          dtype=jnp.float32)
+    cfg = TrainConfig(patch_size=9, batch_size=8, augment=True)
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.random((24, 24, 24)).astype(np.float32))
+    labels = jnp.asarray((rng.random((24, 24, 24)) > 0.9).astype(np.float32))
+    mask = jnp.ones((24, 24, 24), jnp.float32)
+    pos = np.argwhere(np.asarray(labels) > 0.5).astype(np.int32)
+    pos_locs, n_pos = jnp.asarray(pos), jnp.int32(len(pos))
+
+    tr = Trainer(spec, cfg, seed=0)
+    state0 = tr.init_state()
+    key = jax.random.PRNGKey(3)
+
+    single_step, _, _ = make_train_step(spec, cfg, (24, 24, 24))
+    s1, m1 = single_step(state0, key, image, labels, mask, pos_locs, n_pos)
+
+    mesh = make_mesh(4, axis="data")
+    dp_step, _ = make_dp_train_step(spec, cfg, (24, 24, 24), mesh)
+    s2, m2 = dp_step(state0, key, image, labels, mask, pos_locs, n_pos)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dp_train_step_loss_decreases():
+    spec = baseline_model(features=(4,), dilations=(1,), head_features=8,
+                          dtype=jnp.float32)
+    cfg = TrainConfig(patch_size=9, batch_size=16, learning_rate=3e-3)
+    mesh = make_mesh(8, axis="data")
+    rng = np.random.default_rng(1)
+    image = jnp.asarray(rng.random((24, 24, 24)).astype(np.float32))
+    labels = jnp.asarray((image > 0.8).astype(jnp.float32))
+    mask = jnp.ones((24, 24, 24), jnp.float32)
+    pos = np.argwhere(np.asarray(labels) > 0.5).astype(np.int32)
+    pos_locs, n_pos = jnp.asarray(pos), jnp.int32(len(pos))
+
+    tr = Trainer(spec, cfg, seed=0)
+    state = tr.init_state()
+    dp_step, _ = make_dp_train_step(spec, cfg, (24, 24, 24), mesh)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(30):
+        key, k = jax.random.split(key)
+        state, m = dp_step(state, k, image, labels, mask, pos_locs, n_pos)
+        losses.append(float(m["loss"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])

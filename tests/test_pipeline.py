@@ -1,0 +1,79 @@
+"""Fused single-dispatch detect pipeline == scipy host reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flypylib_tpu.infer.pipeline import DetectPipeline
+from flypylib_tpu.models.zoo import baseline_model
+from flypylib_tpu.ops.host_reference import components_host, nms_host
+from tests.test_detect_ops import assert_same_detections
+
+
+@pytest.fixture(scope="module")
+def model():
+    spec = baseline_model(features=(4, 6), dilations=(1, 2),
+                          head_features=8, dtype=jnp.float32)
+    variables = spec.init(jax.random.PRNGKey(0), 16)
+    # re-draw ALL params (incl. biases) from a normal so the untrained net
+    # produces spatially varying probabilities — default zero biases leave
+    # dead-ReLU regions with logits exactly 0, i.e. huge prob-0.5 plateaus
+    # that saturate any max_detections
+    leaves, treedef = jax.tree.flatten(variables)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    variables = jax.tree.unflatten(
+        treedef,
+        [0.5 * jax.random.normal(k, l.shape, l.dtype)
+         for k, l in zip(keys, leaves)],
+    )
+    return spec, variables
+
+
+def reference_prob(spec, variables, vol):
+    c = spec.context
+    padded = np.pad(vol.astype(np.float32), c, mode="reflect")
+    x = jnp.asarray(padded[None, ..., None])
+    logits = spec.module.apply(variables, x, train=False)
+    return np.asarray(jax.nn.sigmoid(logits[0, ..., 0]))
+
+
+def test_pipeline_matches_host_reference(model, rng):
+    spec, variables = model
+    vol = rng.random((36, 36, 36)).astype(np.float32)
+    prob = reference_prob(spec, variables, vol)
+    thr = float(np.quantile(prob, 0.99))
+
+    pipe = DetectPipeline(spec, variables, vol.shape, tile_out=16,
+                          tile_batch=2, window=3, threshold=thr,
+                          max_detections=1024, max_components=1024)
+    nms_det, cc_det = pipe(vol)
+    assert_same_detections(nms_host(prob, window=3, threshold=thr), nms_det)
+    assert_same_detections(components_host(prob, threshold=thr), cc_det,
+                           loc_tol=1e-3)
+
+
+def test_pipeline_uint8_input(model, rng):
+    spec, variables = model
+    vol8 = rng.integers(0, 256, (24, 24, 24)).astype(np.uint8)
+    # multiply by the f32 reciprocal (not divide): matches the device's
+    # x * (1/255) bit-for-bit
+    prob = reference_prob(
+        spec, variables,
+        vol8.astype(np.float32) * np.float32(1.0 / 255.0),
+    )
+    thr = float(np.quantile(prob, 0.98))
+    pipe = DetectPipeline(spec, variables, vol8.shape, tile_out=16,
+                          window=3, threshold=thr, max_detections=512,
+                          max_components=128)
+    nms_det, _ = pipe(vol8)
+    assert_same_detections(nms_host(prob, window=3, threshold=thr), nms_det)
+
+
+def test_pipeline_no_cc(model, rng):
+    spec, variables = model
+    vol = rng.random((20, 20, 20)).astype(np.float32)
+    pipe = DetectPipeline(spec, variables, vol.shape, tile_out=16,
+                          window=3, threshold=0.5, run_cc=False)
+    nms_det, cc_det = pipe(vol)
+    assert cc_det is None
