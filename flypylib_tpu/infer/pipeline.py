@@ -1,16 +1,22 @@
-"""Fused detect pipeline: tiled forward + NMS + CC in ONE dispatch.
+"""Fused detect pipeline: tiled forward + NMS + CC with minimal host I/O.
 
 North star [B:5]: "rewrite the postprocessing as on-device XLA ops so
-probability maps never leave HBM".  This module goes further for
-latency-bound hosts: the ENTIRE volume pipeline — tile sweep over the
-padded volume, sigmoid, NMS candidate extraction, connected-components
-labeling and centroid/conf reduction — is a single jit; one host->device
-upload (uint8 supported, 4x cheaper than f32 on the wire), one dispatch,
-and only the tiny detection arrays come back.
+probability maps never leave HBM".  This engine is built for
+latency/bandwidth-bound hosts:
 
-Semantics are identical to running TiledInference + nms_device +
-components_device separately (same ops, same order) — pinned by
-tests/test_pipeline.py against the scipy host reference.
+- ONE upload of the (padded) volume — uint8 supported, 4x cheaper on the
+  wire than f32 — optionally split into z-slabs whose transfers overlap
+  the previous slab's forward compute (all dispatches are async; the wire
+  and the MXU pipeline against each other);
+- the tile sweep, sigmoid, NMS candidate extraction, and
+  connected-components labeling/centroid reduction run in TWO dispatches
+  (forward-per-slab + one postprocess), with only the tiny detection
+  arrays transferred back;
+- the operating threshold is traced (sweeps don't recompile) and can be
+  computed in-graph as a plane-subsampled quantile of the probability map.
+
+Semantics are identical to TiledInference + nms_device + components_device
+— pinned by tests/test_pipeline.py against the scipy host reference.
 """
 
 from __future__ import annotations
@@ -41,14 +47,19 @@ def _extract_topk(prob, mask, max_detections):
 
 
 class DetectPipeline:
-    """One-dispatch volume -> detections engine for a fixed volume shape."""
+    """Two-dispatch volume -> detections engine for a fixed volume shape.
+
+    If ``threshold_quantile`` is set, the operating threshold is computed
+    in-graph as that quantile of the probability map (handy for
+    benchmarks/untrained nets); otherwise ``threshold`` is used.
+    """
 
     def __init__(
         self,
         spec: ModelSpec,
         variables,
         vol_shape,
-        tile_out: int = 116,
+        tile_out: int = 128,
         tile_batch: int = 1,
         window=5,
         threshold: float = 0.5,
@@ -59,10 +70,6 @@ class DetectPipeline:
         pad_mode: str = "reflect",
         run_cc: bool = True,
     ):
-        """If ``threshold_quantile`` is set, the operating threshold is
-        computed in-graph as that quantile of the probability map (handy
-        for benchmarks/untrained nets); otherwise ``threshold`` is used.
-        Threshold is traced, so changing it never recompiles."""
         from flypylib_tpu.infer.tiled import TiledInference
         from flypylib_tpu.ops.components import components_device
 
@@ -83,50 +90,70 @@ class DetectPipeline:
         )
         tin = self._tiled.tile_in
         corners, out_shape = self._tiled.plan(self.vol_shape)
-        B = tile_batch
-        n_batches = ceil_div(len(corners), B)
-        corners = corners + [corners[-1]] * (n_batches * B - len(corners))
-        self._corners = jnp.asarray(
-            np.asarray(corners, np.int32).reshape(n_batches, B, 3)
-        )
         self._out_shape = out_shape
         vz, vy, vx = self.vol_shape
 
-        @jax.jit
-        def run(variables, padded, corners):
-            scale = input_scale
-            if padded.dtype == jnp.uint8:
-                scale = (1.0 / 255.0) if scale is None else scale
+        # group tile corners by z-start: each group is one upload slab of
+        # tin z-planes whose transfer overlaps the previous slab's compute
+        z_starts = sorted({c[0] for c in corners})
+        self._slabs = []
+        B = tile_batch
+        for zs in z_starts:
+            cs = [c for c in corners if c[0] == zs]
+            nb = ceil_div(len(cs), B)
+            cs = cs + [cs[-1]] * (nb * B - len(cs))
+            local = np.asarray(
+                [(0, c[1], c[2]) for c in cs], np.int32
+            ).reshape(nb, B, 3)
+            self._slabs.append((zs, jnp.asarray(local)))
+        self._tin = tin
 
-            out = jnp.zeros(out_shape, dtype=jnp.float32)
+        @functools.partial(jax.jit, donate_argnums=(3,),
+                           static_argnames=("z_off",))
+        def fwd_slab(variables, slab, corners_local, out, z_off):
+            scale = input_scale
+            if slab.dtype == jnp.uint8:
+                scale = (1.0 / 255.0) if scale is None else scale
 
             def body(out, corner_batch):
                 tiles = jax.vmap(
                     lambda c: lax.dynamic_slice(
-                        padded, (c[0], c[1], c[2]), (tin, tin, tin)
+                        slab, (c[0], c[1], c[2]), (tin, tin, tin)
                     )
                 )(corner_batch)
                 x = tiles.astype(jnp.float32)
                 if scale is not None:
                     x = x * scale
-                logits = spec.module.apply(variables, x[..., None], train=False)
+                logits = spec.module.apply(variables, x[..., None],
+                                           train=False)
                 probs = jax.nn.sigmoid(logits[..., 0])
 
                 def write(out, args):
                     tile, c = args
                     return (
-                        lax.dynamic_update_slice(out, tile, (c[0], c[1], c[2])),
+                        lax.dynamic_update_slice(
+                            out, tile, (c[0] + z_off, c[1], c[2])
+                        ),
                         None,
                     )
 
                 out, _ = lax.scan(write, out, (probs, corner_batch))
                 return out, None
 
-            out, _ = lax.scan(body, out, corners)
-            prob = out[:vz, :vy, :vx]
+            out, _ = lax.scan(body, out, corners_local)
+            return out
 
+        @jax.jit
+        def post(out):
+            prob = out[:vz, :vy, :vx]
             if threshold_quantile is not None:
-                thr = jnp.quantile(prob, threshold_quantile)
+                # plane-subsampled quantile (~1M elements): a full-volume
+                # sort costs more than the rest of the postprocessing, and
+                # the operating point only needs to be statistically right.
+                # Whole z-planes keep the access contiguous (flat striding
+                # is a gather on TPU).
+                stride = max(1, prob.size // (1 << 20))
+                thr = jnp.quantile(prob[::stride], threshold_quantile)
             else:
                 thr = jnp.float32(self.threshold)
             mask = candidate_mask(prob, self.window, thr)
@@ -139,11 +166,12 @@ class DetectPipeline:
                 cc_out = None
             return nms_out, cc_out
 
-        self._run = run
+        self._fwd_slab = fwd_slab
+        self._post = post
 
-    def prepare(self, volume: np.ndarray):
-        """Host-side pad (reflect halo + grid extension); returns the array
-        to upload.  uint8 stays uint8 on the wire."""
+    def prepare(self, volume: np.ndarray) -> np.ndarray:
+        """Host-side pad (reflect halo + grid extension).  uint8 stays
+        uint8 on the wire."""
         vol = np.asarray(volume)
         if vol.dtype not in (np.uint8, np.float32):
             vol = vol.astype(np.float32)
@@ -153,11 +181,19 @@ class DetectPipeline:
         return np.pad(padded, extra)
 
     def __call__(self, volume: np.ndarray):
-        """volume -> (nms Tbars, cc Tbars | None). One upload, one dispatch."""
-        padded = jax.device_put(self.prepare(volume))
-        (locs, conf, valid), cc = self._run(
-            self.variables, padded, self._corners
-        )
+        """volume -> (nms Tbars, cc Tbars | None)."""
+        padded = self.prepare(volume)
+        tin = self._tin
+        # queue every slab upload up front: transfers run back-to-back on
+        # the wire while earlier slabs' forwards execute
+        slab_devs = [
+            jax.device_put(padded[zs : zs + tin]) for zs, _ in self._slabs
+        ]
+        out = jnp.zeros(self._out_shape, dtype=jnp.float32)
+        for (zs, local), slab in zip(self._slabs, slab_devs):
+            out = self._fwd_slab(self.variables, slab, local, out, z_off=zs)
+        (locs, conf, valid), cc = self._post(out)
+
         valid = np.asarray(valid)
         n = int(valid.sum())
         nms_det = Tbars(

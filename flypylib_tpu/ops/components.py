@@ -49,21 +49,34 @@ def _neighbor_min(lab: jax.Array, mask: jax.Array, sentinel) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_components", "sweeps_per_check", "pointer_jump"),
+    static_argnames=("max_components", "max_candidates", "sweeps_per_check",
+                     "pointer_jump"),
 )
 def components_device(
     prob: jax.Array,
     threshold=0.5,
     max_components: int = 1024,
+    max_candidates: int | None = None,
     sweeps_per_check: int = 4,
     pointer_jump: bool = False,
 ):
     """On-device CC: returns (centroids (K,3) f32, conf (K,) f32,
-    valid (K,) bool, overflowed () bool)."""
+    valid (K,) bool, overflowed () bool).
+
+    ``max_candidates`` bounds the number of above-threshold voxels (default
+    16 * max_components); exceeding either bound sets ``overflowed``.
+    Extraction compacts the candidate voxels first (one ``nonzero``), so
+    the expensive segment reductions run over ``max_candidates`` elements
+    instead of the whole volume — full-volume work is only the label
+    sweeps and the compaction pass.
+    """
     prob = prob.astype(jnp.float32)
     shape = prob.shape
     n = int(np.prod(shape))
     max_components = min(max_components, n)
+    if max_candidates is None:
+        max_candidates = 16 * max_components
+    max_candidates = min(max_candidates, n)
     sentinel = jnp.int32(n)
     mask = prob >= threshold
 
@@ -89,36 +102,45 @@ def components_device(
     lab, _ = lax.while_loop(cond, body, (lab, jnp.bool_(True)))
 
     roots = lab.reshape(-1)
-    flat_idx = jnp.arange(n, dtype=jnp.int32)
-    rep = (roots == flat_idx) & mask.reshape(-1)
-    n_comp = jnp.sum(rep)
-    overflowed = n_comp > max_components
+    mflat = mask.reshape(-1)
+    n_cand = jnp.sum(mflat, dtype=jnp.int32)
 
-    # compact root ids without a full-volume sort: top_k over -index keeps
-    # the (<= K) representative indices, descending -idx == ascending idx,
-    # invalid slots become a huge ascending-compatible sentinel
+    # compact: indices of candidate voxels (padded with n)
+    cand = jnp.nonzero(mflat, size=max_candidates, fill_value=n)[0].astype(
+        jnp.int32
+    )
+    valid_c = cand < n
+    safe = jnp.minimum(cand, n - 1)
+    roots_c = jnp.where(valid_c, roots[safe], sentinel)
+    prob_c = jnp.where(valid_c, prob.reshape(-1)[safe], -jnp.inf)
+    z_c = (safe // (shape[1] * shape[2])).astype(jnp.float32)
+    y_c = ((safe // shape[2]) % shape[1]).astype(jnp.float32)
+    x_c = (safe % shape[2]).astype(jnp.float32)
+
+    rep_c = (roots_c == cand) & valid_c
+    n_comp = jnp.sum(rep_c)
+    overflowed = (n_comp > max_components) | (n_cand > max_candidates)
+
+    # compact root ids without a sort: top_k over -index keeps the (<= K)
+    # representative indices; descending -idx == ascending idx; invalid
+    # slots become a huge ascending-compatible sentinel
     fill = jnp.iinfo(jnp.int32).min + 1
-    key = jnp.where(rep, -flat_idx, fill)
+    key = jnp.where(rep_c, -cand, fill)
     neg_roots, _ = lax.top_k(key, max_components)
     uniq = -neg_roots  # ascending: real roots first, then ~2^31 sentinels
-    seg = jnp.searchsorted(uniq, roots).astype(jnp.int32)
-
-    zz = (idx // (shape[1] * shape[2])).reshape(-1).astype(jnp.float32)
-    yy = ((idx // shape[2]) % shape[1]).reshape(-1).astype(jnp.float32)
-    xx = (idx % shape[2]).reshape(-1).astype(jnp.float32)
+    seg = jnp.searchsorted(uniq, roots_c).astype(jnp.int32)
 
     num_segments = max_components + 1
-    seg = jnp.minimum(seg, num_segments - 1)
-    mflat = mask.reshape(-1).astype(jnp.float32)
-    count = jax.ops.segment_sum(mflat, seg, num_segments)
+    seg = jnp.where(valid_c, jnp.minimum(seg, num_segments - 1),
+                    num_segments - 1)
+    w = valid_c.astype(jnp.float32)
+    count = jax.ops.segment_sum(w, seg, num_segments)
     sums = jnp.stack(
-        [jax.ops.segment_sum(c * mflat, seg, num_segments) for c in (zz, yy, xx)],
+        [jax.ops.segment_sum(c * w, seg, num_segments)
+         for c in (z_c, y_c, x_c)],
         axis=1,
     )
-    conf = jax.ops.segment_max(
-        jnp.where(mask.reshape(-1), prob.reshape(-1), -jnp.inf), seg,
-        num_segments,
-    )
+    conf = jax.ops.segment_max(prob_c, seg, num_segments)
     valid = (uniq < sentinel) & (count[:max_components] > 0)
     centroids = sums / jnp.maximum(count, 1.0)[:, None]
     return (

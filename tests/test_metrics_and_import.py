@@ -1,0 +1,98 @@
+import json
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flypylib_tpu.io.keras_import import load_keras_weights, save_keras_weights
+from flypylib_tpu.models.zoo import baseline_model
+from flypylib_tpu.utils.metrics import (
+    MetricsLog,
+    StageTimer,
+    dump_pr_curve,
+    load_pr_curve,
+)
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("infer", voxels=1_000_000):
+        pass
+    with t.stage("infer", voxels=1_000_000):
+        pass
+    r = t.report()
+    assert r["infer"]["calls"] == 2
+    assert r["infer"]["voxels"] == 2_000_000
+    assert "mvox_per_s" in r["infer"]
+
+
+def test_pr_curve_roundtrip(tmp_path):
+    curve = {
+        "conf": np.array([0.9, 0.8]),
+        "precision": np.array([1.0, 0.5]),
+        "recall": np.array([0.5, 0.5]),
+        "num_gt": np.float64(2),
+    }
+    for ext in ("json", "csv"):
+        p = str(tmp_path / f"curve.{ext}")
+        dump_pr_curve(curve, p)
+    back = load_pr_curve(str(tmp_path / "curve.json"))
+    np.testing.assert_allclose(back["precision"], curve["precision"])
+    lines = open(tmp_path / "curve.csv").read().strip().splitlines()
+    assert lines[0].split(",")[:1] == ["conf"]
+    assert len(lines) == 3
+
+
+def test_metrics_log(tmp_path):
+    p = str(tmp_path / "m.jsonl")
+    log = MetricsLog(p)
+    log.log({"epoch": 0, "loss": 0.5})
+    log.log({"epoch": 1, "loss": 0.4})
+    recs = [json.loads(line) for line in open(p)]
+    assert len(recs) == 2 and recs[1]["loss"] == 0.4
+
+
+def test_keras_weight_roundtrip(tmp_path):
+    spec = baseline_model(features=(4, 6), dilations=(1, 1), head_features=8,
+                          dtype=jnp.float32)
+    variables = spec.init(jax.random.PRNGKey(0), 12)
+    params = jax.tree.map(np.asarray, variables["params"])
+    path = str(tmp_path / "weights.h5")
+    save_keras_weights(path, params)
+
+    variables2 = spec.init(jax.random.PRNGKey(1), 12)
+    params2 = jax.tree.map(np.asarray, variables2["params"])
+    loaded = load_keras_weights(path, params2)
+    for name in params:
+        np.testing.assert_array_equal(
+            loaded[name]["kernel"], params[name]["kernel"]
+        )
+        np.testing.assert_array_equal(
+            loaded[name]["bias"], params[name]["bias"]
+        )
+    # loaded weights reproduce the original model's output exactly
+    x = jnp.asarray(
+        np.random.default_rng(0).random((1, 12, 12, 12, 1)).astype(np.float32)
+    )
+    out1 = spec.apply(variables, x)
+    out2 = spec.apply({"params": loaded}, x)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_keras_import_shape_mismatch(tmp_path):
+    spec = baseline_model(features=(4,), dilations=(1,), head_features=8,
+                          dtype=jnp.float32)
+    variables = spec.init(jax.random.PRNGKey(0), 12)
+    params = jax.tree.map(np.asarray, variables["params"])
+    path = str(tmp_path / "w.h5")
+    save_keras_weights(path, params)
+
+    spec2 = baseline_model(features=(6,), dilations=(1,), head_features=8,
+                           dtype=jnp.float32)
+    params2 = jax.tree.map(
+        np.asarray, spec2.init(jax.random.PRNGKey(0), 12)["params"]
+    )
+    with pytest.raises(ValueError, match="shape"):
+        load_keras_weights(path, params2)
