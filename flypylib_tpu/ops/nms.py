@@ -25,19 +25,34 @@ from flypylib_tpu.io.synapses import Tbars
 from flypylib_tpu.utils import to3d
 
 
+def max_filter(prob: jax.Array, window=3) -> jax.Array:
+    """Separable 3D max filter with -inf (out-of-bounds) padding.
+
+    max over a box window factorizes into three 1-D passes — O(wz+wy+wx)
+    reads per voxel instead of O(wz*wy*wx); identical result to a single
+    3-D ``reduce_window`` (scipy ``maximum_filter`` with constant -inf).
+    """
+    win = to3d(window)
+    out = prob
+    for axis, w in enumerate(win):
+        if w == 1:
+            continue
+        dims = [1, 1, 1]
+        dims[axis] = w
+        pads = [(0, 0)] * 3
+        pads[axis] = (w // 2, w - 1 - w // 2)
+        out = lax.reduce_window(
+            out, -jnp.inf, lax.max,
+            window_dimensions=tuple(dims), window_strides=(1, 1, 1),
+            padding=pads,
+        )
+    return out
+
+
 def candidate_mask(prob: jax.Array, window=3, threshold=0.5) -> jax.Array:
     """Boolean mask of NMS candidates. jit-safe; window static, threshold
     may be a traced scalar (threshold sweeps don't recompile)."""
-    win = to3d(window)
-    pads = [(w // 2, w - 1 - w // 2) for w in win]
-    mf = lax.reduce_window(
-        prob,
-        -jnp.inf,
-        lax.max,
-        window_dimensions=win,
-        window_strides=(1, 1, 1),
-        padding=pads,
-    )
+    mf = max_filter(prob, window)
     return (prob == mf) & (prob >= threshold)
 
 

@@ -148,11 +148,19 @@ def sharded_nms(
         i = lax.axis_index(axis)
         lo, hi = _edge_halo_exchange(slab, neg[:hl], neg[:hh], hl, hh, axis)
         ext = jnp.concatenate([lo, slab, hi], axis=0)
+        # separable max filter: 1-D valid pass over z (halo provides the
+        # padding), then padded 1-D passes over y and x
         mf = lax.reduce_window(
-            ext, -jnp.inf, lax.max,
-            window_dimensions=(wz, wy, wx), window_strides=(1, 1, 1),
-            padding=[(0, 0), (wy // 2, wy - 1 - wy // 2),
-                     (wx // 2, wx - 1 - wx // 2)],
+            ext, -jnp.inf, lax.max, (wz, 1, 1), (1, 1, 1),
+            [(0, 0), (0, 0), (0, 0)],
+        )
+        mf = lax.reduce_window(
+            mf, -jnp.inf, lax.max, (1, wy, 1), (1, 1, 1),
+            [(0, 0), (wy // 2, wy - 1 - wy // 2), (0, 0)],
+        )
+        mf = lax.reduce_window(
+            mf, -jnp.inf, lax.max, (1, 1, wx), (1, 1, 1),
+            [(0, 0), (0, 0), (wx // 2, wx - 1 - wx // 2)],
         )
         mask = (slab == mf) & (slab >= threshold)
         flat = jnp.where(mask.reshape(-1), slab.reshape(-1), -jnp.inf)
