@@ -8,6 +8,12 @@ from flypylib_tpu.infer.roi_queue import (
     dvid_source,
     dvid_sink,
 )
+from flypylib_tpu.infer.large import (
+    detect_h5,
+    detect_streaming,
+    h5_reader,
+    array_reader,
+)
 
 __all__ = [
     "TiledInference",
@@ -19,4 +25,8 @@ __all__ = [
     "stream_rois",
     "dvid_source",
     "dvid_sink",
+    "detect_h5",
+    "detect_streaming",
+    "h5_reader",
+    "array_reader",
 ]

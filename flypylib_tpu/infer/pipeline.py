@@ -69,6 +69,7 @@ class DetectPipeline:
         input_scale: float | None = None,
         pad_mode: str = "reflect",
         run_cc: bool = True,
+        pre_padded: bool = False,
     ):
         from flypylib_tpu.infer.tiled import TiledInference
         from flypylib_tpu.ops.components import components_device
@@ -83,6 +84,7 @@ class DetectPipeline:
         self.input_scale = input_scale
         self.pad_mode = pad_mode
         self.run_cc = run_cc
+        self.pre_padded = pre_padded
 
         # reuse the tile-grid planner from TiledInference
         self._tiled = TiledInference(
@@ -144,8 +146,22 @@ class DetectPipeline:
             return out
 
         @jax.jit
-        def post(out):
+        def post(out, valid_lo, valid_hi):
             prob = out[:vz, :vy, :vx]
+            # out-of-bounds masking (traced): voxels outside
+            # [valid_lo, valid_hi) become -inf so they can neither be
+            # candidates nor suppress in-bounds candidates — exactly the
+            # monolithic -inf boundary semantics for ROI runs whose prob
+            # region extends past the true volume
+            zz = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 0)
+            yy = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 1)
+            xx = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 2)
+            inb = (
+                (zz >= valid_lo[0]) & (zz < valid_hi[0])
+                & (yy >= valid_lo[1]) & (yy < valid_hi[1])
+                & (xx >= valid_lo[2]) & (xx < valid_hi[2])
+            )
+            prob = jnp.where(inb, prob, -jnp.inf)
             if threshold_quantile is not None:
                 # plane-subsampled quantile (~1M elements): a full-volume
                 # sort costs more than the rest of the postprocessing, and
@@ -171,17 +187,41 @@ class DetectPipeline:
 
     def prepare(self, volume: np.ndarray) -> np.ndarray:
         """Host-side pad (reflect halo + grid extension).  uint8 stays
-        uint8 on the wire."""
+        uint8 on the wire.
+
+        With ``pre_padded=True`` the caller already supplied the
+        ``context`` halo (shape = vol_shape + 2*context) — e.g. true
+        neighbor data around an out-of-core ROI — and only the grid
+        extension is added.
+        """
         vol = np.asarray(volume)
         if vol.dtype not in (np.uint8, np.float32):
             vol = vol.astype(np.float32)
         c = self._tiled.ctx
-        padded = np.pad(vol, c, mode=self.pad_mode) if c else vol
+        if self.pre_padded:
+            expect = tuple(s + 2 * c for s in self.vol_shape)
+            if vol.shape != expect:
+                raise ValueError(
+                    f"pre_padded volume must have shape {expect}, got "
+                    f"{vol.shape}"
+                )
+            padded = vol
+        else:
+            if vol.shape != self.vol_shape:
+                raise ValueError(
+                    f"volume must have shape {self.vol_shape}, got {vol.shape}"
+                )
+            padded = np.pad(vol, c, mode=self.pad_mode) if c else vol
         extra = [(0, os - s) for s, os in zip(self.vol_shape, self._out_shape)]
         return np.pad(padded, extra)
 
-    def __call__(self, volume: np.ndarray):
-        """volume -> (nms Tbars, cc Tbars | None)."""
+    def __call__(self, volume: np.ndarray, valid_lo=None, valid_hi=None):
+        """volume -> (nms Tbars, cc Tbars | None).
+
+        ``valid_lo``/``valid_hi`` optionally bound the region (in
+        prob-volume coords) whose voxels are real — outside it the map is
+        treated as -inf (see post).
+        """
         padded = self.prepare(volume)
         tin = self._tin
         # queue every slab upload up front: transfers run back-to-back on
@@ -192,7 +232,13 @@ class DetectPipeline:
         out = jnp.zeros(self._out_shape, dtype=jnp.float32)
         for (zs, local), slab in zip(self._slabs, slab_devs):
             out = self._fwd_slab(self.variables, slab, local, out, z_off=zs)
-        (locs, conf, valid), cc = self._post(out)
+        lo = jnp.asarray(
+            valid_lo if valid_lo is not None else (0, 0, 0), jnp.int32
+        )
+        hi = jnp.asarray(
+            valid_hi if valid_hi is not None else self.vol_shape, jnp.int32
+        )
+        (locs, conf, valid), cc = self._post(out, lo, hi)
 
         valid = np.asarray(valid)
         n = int(valid.sum())

@@ -42,29 +42,42 @@ class FplNetwork:
     # -- train ------------------------------------------------------------
     def train(
         self,
-        image: np.ndarray,
-        labels: np.ndarray | None = None,
-        mask: np.ndarray | None = None,
-        tbars: Tbars | None = None,
+        image,
+        labels=None,
+        mask=None,
+        tbars=None,
         epochs: int = 1,
         radius: float = 5.0,
         callback=None,
     ):
-        """Train on a labeled cutout.
+        """Train on one labeled cutout or a LIST of them (parity: flypylib
+        trained over lists of labeled cubes).
 
         Either pass rasterized ``labels``+``mask`` volumes, or raw ``tbars``
         annotations (rasterized here with the standard radius/ignore-annulus
         rules; border masking uses the model context).
         """
+        is_multi = isinstance(image, (list, tuple))
+        images = list(image) if is_multi else [image]
         if labels is None:
             if tbars is None:
                 raise ValueError("need labels+mask or tbars")
-            labels, mask = make_training_volumes(
-                tbars, image.shape, radius=radius, border=self.context
-            )
-        if mask is None:
-            mask = np.ones_like(labels, dtype=np.float32)
-        history = self.trainer.fit(image, labels, mask, epochs=epochs,
+            tbars_list = list(tbars) if is_multi else [tbars]
+            pairs = [
+                make_training_volumes(
+                    tb, im.shape, radius=radius, border=self.context
+                )
+                for tb, im in zip(tbars_list, images)
+            ]
+            labels = [p[0] for p in pairs]
+            mask = [p[1] for p in pairs]
+        else:
+            labels = list(labels) if is_multi else [labels]
+            if mask is None:
+                mask = [np.ones_like(lb, dtype=np.float32) for lb in labels]
+            else:
+                mask = list(mask) if is_multi else [mask]
+        history = self.trainer.fit(images, labels, mask, epochs=epochs,
                                    callback=callback)
         self._tiled = None  # params changed; rebuild inference wrapper lazily
         return history

@@ -3,21 +3,23 @@
 Parity: flypylib fplnetwork.train + fplobjdetect.gen_batches (SURVEY.md
 section 3.1): random patch sampling from labeled cubes restricted by a loss
 mask, flip/rotation augmentation, masked binary cross-entropy, Adam.
+flypylib trained from a *list* of labeled cubes; here multiple volumes are
+padded to a common shape and stacked on a leading axis, with per-volume
+corner bounds so sampling never strays into padding.
 
 TPU-first redesign (SURVEY.md section 7.2 step 2, eval config 3 [B:9]):
 flypylib's host-side Python batch generator was the known bottleneck; here
-the labeled volumes live in HBM and the *entire* input pipeline — corner
-sampling (half uniform, half jittered around known positives), patch
-gather (``lax.dynamic_slice`` under vmap), and the 16-element flip/rot
-augmentation — runs inside the single jit'd train step.  The host supplies
-only a PRNG key per step; there is no host->device data motion after the
-initial upload, no recompilation (static patch/batch shapes), and XLA fuses
-augmentation into the convolution input pipeline.
+the labeled volumes live in HBM and the *entire* input pipeline — volume
+pick + corner sampling (half uniform, half jittered around known
+positives), patch gather (``lax.dynamic_slice`` under vmap), and the
+16-element flip/rot augmentation — runs inside the single jit'd train
+step.  The host supplies only a PRNG key per epoch; ``lax.scan`` batches a
+whole epoch of steps into one dispatch, and uint8 grayscale stays uint8 in
+HBM (normalized in-graph).
 """
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Any
 
@@ -67,31 +69,122 @@ def masked_bce_loss(logits, labels, mask):
     return jnp.sum(bce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
-def _sample_corners(key, n, vol_shape, patch, pos_locs, n_pos_locs, cfg):
-    """Sample (n, 3) patch corner coords: uniform + positive-centered mix."""
-    k_u, k_p, k_j, k_mix = jax.random.split(key, 4)
-    max_corner = jnp.array([s - patch for s in vol_shape], jnp.int32)
-    uniform = jax.random.randint(k_u, (n, 3), 0, max_corner + 1)
+class TrainData(struct.PyTreeNode):
+    """Stacked labeled volumes resident on device (a jit-able pytree).
 
-    # positive-centered: pick a labeled center, jitter, center the patch on it
-    pidx = jax.random.randint(k_p, (n,), 0, jnp.maximum(n_pos_locs, 1))
-    centers = pos_locs[pidx]  # (n, 3) int32
+    images/labels/masks: (V, Z, Y, X); corner_max: (V, 3) inclusive upper
+    corner bound per volume; pos_locs: (N, 4) [v, z, y, x]; n_pos: scalar.
+    """
+
+    images: jax.Array
+    labels: jax.Array
+    masks: jax.Array
+    corner_max: jax.Array
+    pos_locs: jax.Array
+    n_pos: jax.Array
+
+    @classmethod
+    def build(cls, images, labels, masks, patch: int, pos_cap: int = 65536):
+        """Stack single or lists of (image, labels, mask) volumes; pads to
+        a common shape (padding is mask-0 and never sampled)."""
+        if not isinstance(images, (list, tuple)):
+            images, labels, masks = [images], [labels], [masks]
+        assert len(images) == len(labels) == len(masks)
+        shapes = [np.asarray(im).shape for im in images]
+        for s in shapes:
+            if any(dim < patch for dim in s):
+                raise ValueError(f"volume {s} smaller than patch {patch}")
+        common = tuple(np.max(np.asarray(shapes), axis=0))
+
+        def padded(v, fill=0.0):
+            v = np.asarray(v, np.float32)
+            pads = [(0, c - s) for s, c in zip(v.shape, common)]
+            return np.pad(v, pads, constant_values=fill)
+
+        img_dtype = np.asarray(images[0]).dtype
+        if img_dtype == np.uint8:
+            imgs = np.stack(
+                [np.pad(np.asarray(im),
+                        [(0, c - s) for s, c in zip(im.shape, common)])
+                 for im in images]
+            )
+        else:
+            imgs = np.stack([padded(im) for im in images])
+        labs = np.stack([padded(lb) for lb in labels])
+        msks = np.stack([padded(mk) for mk in masks])
+
+        corner_max = np.asarray(
+            [[dim - patch for dim in s] for s in shapes], np.int32
+        )
+        locs = []
+        for v, lb in enumerate(labels):
+            pts = np.argwhere(np.asarray(lb) > 0.5)
+            if len(pts):
+                locs.append(
+                    np.concatenate(
+                        [np.full((len(pts), 1), v), pts], axis=1
+                    )
+                )
+        if locs:
+            locs = np.concatenate(locs).astype(np.int32)
+            if len(locs) > pos_cap:
+                sel = np.random.default_rng(0).choice(
+                    len(locs), pos_cap, replace=False
+                )
+                locs = locs[sel]
+            n_pos = len(locs)
+        else:
+            locs = np.zeros((1, 4), np.int32)
+            n_pos = 0
+        return cls(
+            images=jnp.asarray(imgs),
+            labels=jnp.asarray(labs),
+            masks=jnp.asarray(msks),
+            corner_max=jnp.asarray(corner_max),
+            pos_locs=jnp.asarray(locs),
+            n_pos=jnp.int32(n_pos),
+        )
+
+
+def _sample_batch(key, n, data: TrainData, patch: int, cfg: TrainConfig):
+    """(vidx (n,), corners (n,3)) mixing uniform and positive-centered."""
+    k_v, k_u, k_p, k_j, k_mix = jax.random.split(key, 5)
+    n_vols = data.images.shape[0]
+    vidx_u = jax.random.randint(k_v, (n,), 0, n_vols)
+    cmax_u = data.corner_max[vidx_u]  # (n, 3)
+    u = jax.random.uniform(k_u, (n, 3))
+    uniform = jnp.floor(u * (cmax_u + 1)).astype(jnp.int32)
+
+    pidx = jax.random.randint(k_p, (n,), 0, jnp.maximum(data.n_pos, 1))
+    pos = data.pos_locs[pidx]  # (n, 4) [v, z, y, x]
     jitter = jax.random.randint(
         k_j, (n, 3), -cfg.pos_jitter, cfg.pos_jitter + 1
     )
-    pos_corner = jnp.clip(centers + jitter - patch // 2, 0, max_corner)
+    centers = pos[:, 1:] + jitter
+    pos_corner = jnp.clip(
+        centers - patch // 2, 0, data.corner_max[pos[:, 0]]
+    ).astype(jnp.int32)
 
     use_pos = (
         jax.random.uniform(k_mix, (n,)) < cfg.pos_fraction
-    ) & (n_pos_locs > 0)
-    return jnp.where(use_pos[:, None], pos_corner, uniform)
+    ) & (data.n_pos > 0)
+    vidx = jnp.where(use_pos, pos[:, 0], vidx_u)
+    corners = jnp.where(use_pos[:, None], pos_corner, uniform)
+    return vidx, corners
 
 
-def make_train_step(spec: ModelSpec, cfg: TrainConfig, vol_shape):
-    """Build the jit'd train step closed over static geometry.
+def _gather(vols, vidx, corner, size):
+    sl = jax.lax.dynamic_slice(
+        vols, (vidx, corner[0], corner[1], corner[2]), (1, size, size, size)
+    )
+    return sl[0]
 
-    Signature: ``train_step(state, key, image, labels, mask, pos_locs,
-    n_pos_locs) -> (state, metrics)`` — all arrays resident on device.
+
+def make_loss_fn(spec: ModelSpec, cfg: TrainConfig, shard_batch=None):
+    """Shared loss over TrainData; ``shard_batch`` optionally applies a
+    sharding constraint to the sampled patch batch (mesh data parallelism).
+
+    Returns ``(loss_fn, patch_size)``.
     """
     patch = spec.valid_size(cfg.patch_size)
     ctx = spec.context
@@ -99,18 +192,24 @@ def make_train_step(spec: ModelSpec, cfg: TrainConfig, vol_shape):
     if out <= 0:
         raise ValueError(f"patch_size {patch} too small for context {ctx}")
 
-    def gather_patch(vol, corner, size):
-        return jax.lax.dynamic_slice(vol, corner, (size,) * 3)
-
-    def loss_fn(params, batch_stats, key, image, labels, mask, pos_locs, n_pos_locs):
+    def loss_fn(params, batch_stats, key, data: TrainData):
         k_corner, k_aug = jax.random.split(key)
-        corners = _sample_corners(
-            k_corner, cfg.batch_size, vol_shape, patch, pos_locs, n_pos_locs, cfg
+        vidx, corners = _sample_batch(
+            k_corner, cfg.batch_size, data, patch, cfg
         )
-        x = jax.vmap(lambda c: gather_patch(image, c, patch))(corners)
+        x = jax.vmap(
+            lambda v, c: _gather(data.images, v, c, patch)
+        )(vidx, corners)
         yc = corners + ctx
-        y = jax.vmap(lambda c: gather_patch(labels, c, out))(yc)
-        m = jax.vmap(lambda c: gather_patch(mask, c, out))(yc)
+        y = jax.vmap(
+            lambda v, c: _gather(data.labels, v, c, out)
+        )(vidx, yc)
+        m = jax.vmap(
+            lambda v, c: _gather(data.masks, v, c, out)
+        )(vidx, yc)
+        x = x.astype(jnp.float32)
+        if data.images.dtype == jnp.uint8:
+            x = x * (1.0 / 255.0)
 
         if cfg.augment:
             codes = jax.random.randint(
@@ -119,6 +218,9 @@ def make_train_step(spec: ModelSpec, cfg: TrainConfig, vol_shape):
             x = jax.vmap(augment_patch)(x, codes)
             y = jax.vmap(augment_patch)(y, codes)
             m = jax.vmap(augment_patch)(m, codes)
+
+        if shard_batch is not None:
+            x, y, m = shard_batch(x), shard_batch(y), shard_batch(m)
 
         variables = {"params": params}
         if batch_stats:
@@ -140,19 +242,22 @@ def make_train_step(spec: ModelSpec, cfg: TrainConfig, vol_shape):
         }
         return loss, (metrics, updates.get("batch_stats", batch_stats))
 
-    def step_impl(state, key, image, labels, mask, pos_locs, n_pos_locs):
+    return loss_fn, patch
+
+
+def make_step_impl(spec: ModelSpec, cfg: TrainConfig, shard_batch=None,
+                   shard_grads=None):
+    loss_fn, patch = make_loss_fn(spec, cfg, shard_batch)
+
+    def step_impl(state, key, data: TrainData):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (metrics, new_bs)), grads = grad_fn(
-            state.params,
-            state.batch_stats,
-            key,
-            image,
-            labels,
-            mask,
-            pos_locs,
-            n_pos_locs,
+            state.params, state.batch_stats, key, data
         )
-        updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
+        if shard_grads is not None:
+            grads = shard_grads(grads)
+        updates, opt_state = state.tx.update(grads, state.opt_state,
+                                             state.params)
         params = optax.apply_updates(state.params, updates)
         return (
             state.replace(
@@ -164,18 +269,25 @@ def make_train_step(spec: ModelSpec, cfg: TrainConfig, vol_shape):
             metrics,
         )
 
+    return step_impl, patch
+
+
+def make_train_step(spec: ModelSpec, cfg: TrainConfig, vol_shape=None):
+    """(single_step, epoch_step, patch_size).
+
+    ``epoch_step(state, keys, data)`` runs ``len(keys)`` steps in ONE
+    dispatch via lax.scan — host/tunnel dispatch latency is amortized over
+    the whole epoch (the reference's per-batch host round-trip is the
+    bottleneck this removes).  ``vol_shape`` is unused (kept for backward
+    compatibility).
+    """
+    step_impl, patch = make_step_impl(spec, cfg)
     train_step = jax.jit(step_impl)
 
     @jax.jit
-    def train_steps(state, keys, image, labels, mask, pos_locs, n_pos_locs):
-        """Many steps in ONE dispatch via lax.scan — host/tunnel dispatch
-        latency is amortized over the whole epoch (the reference's
-        per-batch host round-trip is the bottleneck this removes)."""
-
+    def train_steps(state, keys, data):
         def body(state, key):
-            return step_impl(
-                state, key, image, labels, mask, pos_locs, n_pos_locs
-            )
+            return step_impl(state, key, data)
 
         state, metrics = jax.lax.scan(body, state, keys)
         return state, jax.tree.map(lambda m: jnp.mean(m), metrics)
@@ -202,48 +314,28 @@ class Trainer:
         self.state = TrainState.create(variables, self.tx)
         return self.state
 
-    @staticmethod
-    def positive_locations(labels: np.ndarray, cap: int = 65536) -> np.ndarray:
-        """Centers of positive voxels, padded/capped to a static size."""
-        locs = np.argwhere(np.asarray(labels) > 0.5).astype(np.int32)
-        n = len(locs)
-        if n == 0:
-            return np.zeros((1, 3), np.int32), 0
-        if n > cap:
-            sel = np.random.default_rng(0).choice(n, cap, replace=False)
-            locs = locs[sel]
-            n = cap
-        return locs, n
-
     def fit(
         self,
-        image: np.ndarray,
-        labels: np.ndarray,
-        mask: np.ndarray,
+        image,
+        labels,
+        mask,
         epochs: int = 1,
         callback=None,
     ):
-        """Train on one labeled volume (parity: FplNetwork.train)."""
-        image = jnp.asarray(np.asarray(image, np.float32))
-        labels_j = jnp.asarray(np.asarray(labels, np.float32))
-        mask_j = jnp.asarray(np.asarray(mask, np.float32))
-        pos_locs, n_pos = self.positive_locations(labels)
-        pos_locs = jnp.asarray(pos_locs)
-        n_pos = jnp.int32(n_pos)
+        """Train on one labeled volume or lists of them (parity:
+        FplNetwork.train over labeled cube lists)."""
+        patch = self.spec.valid_size(self.cfg.patch_size)
+        data = TrainData.build(image, labels, mask, patch)
 
         if self.state is None:
             self.init_state()
         if self._train_step is None:
-            _, self._train_step, _ = make_train_step(
-                self.spec, self.cfg, tuple(image.shape)
-            )
+            _, self._train_step, _ = make_train_step(self.spec, self.cfg)
 
         for epoch in range(epochs):
             self.key, k = jax.random.split(self.key)
             keys = jax.random.split(k, self.cfg.steps_per_epoch)
-            self.state, metrics = self._train_step(
-                self.state, keys, image, labels_j, mask_j, pos_locs, n_pos
-            )
+            self.state, metrics = self._train_step(self.state, keys, data)
             ep = {k2: float(v) for k2, v in metrics.items()}
             ep["epoch"] = epoch
             self.history.append(ep)

@@ -95,28 +95,27 @@ def test_sharded_nms_random(rng):
 
 def test_dp_train_step_matches_single_chip():
     """Same seed => DP-sharded step produces the same params as single."""
-    from flypylib_tpu.train.trainer import make_train_step
+    from flypylib_tpu.train.trainer import TrainData, make_train_step
 
     spec = baseline_model(features=(4,), dilations=(1,), head_features=8,
                           dtype=jnp.float32)
     cfg = TrainConfig(patch_size=9, batch_size=8, augment=True)
     rng = np.random.default_rng(0)
-    image = jnp.asarray(rng.random((24, 24, 24)).astype(np.float32))
-    labels = jnp.asarray((rng.random((24, 24, 24)) > 0.9).astype(np.float32))
-    mask = jnp.ones((24, 24, 24), jnp.float32)
-    pos = np.argwhere(np.asarray(labels) > 0.5).astype(np.int32)
-    pos_locs, n_pos = jnp.asarray(pos), jnp.int32(len(pos))
+    image = rng.random((24, 24, 24)).astype(np.float32)
+    labels = (rng.random((24, 24, 24)) > 0.9).astype(np.float32)
+    mask = np.ones((24, 24, 24), np.float32)
+    data = TrainData.build(image, labels, mask, spec.valid_size(9))
 
     tr = Trainer(spec, cfg, seed=0)
     state0 = tr.init_state()
     key = jax.random.PRNGKey(3)
 
-    single_step, _, _ = make_train_step(spec, cfg, (24, 24, 24))
-    s1, m1 = single_step(state0, key, image, labels, mask, pos_locs, n_pos)
+    single_step, _, _ = make_train_step(spec, cfg)
+    s1, m1 = single_step(state0, key, data)
 
     mesh = make_mesh(4, axis="data")
-    dp_step, _ = make_dp_train_step(spec, cfg, (24, 24, 24), mesh)
-    s2, m2 = dp_step(state0, key, image, labels, mask, pos_locs, n_pos)
+    dp_step, _, _ = make_dp_train_step(spec, cfg, mesh)
+    s2, m2 = dp_step(state0, key, data)
 
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                rtol=1e-5)
@@ -126,24 +125,47 @@ def test_dp_train_step_matches_single_chip():
 
 
 def test_dp_train_step_loss_decreases():
+    from flypylib_tpu.train.trainer import TrainData
+
     spec = baseline_model(features=(4,), dilations=(1,), head_features=8,
                           dtype=jnp.float32)
     cfg = TrainConfig(patch_size=9, batch_size=16, learning_rate=3e-3)
     mesh = make_mesh(8, axis="data")
     rng = np.random.default_rng(1)
-    image = jnp.asarray(rng.random((24, 24, 24)).astype(np.float32))
-    labels = jnp.asarray((image > 0.8).astype(jnp.float32))
-    mask = jnp.ones((24, 24, 24), jnp.float32)
-    pos = np.argwhere(np.asarray(labels) > 0.5).astype(np.int32)
-    pos_locs, n_pos = jnp.asarray(pos), jnp.int32(len(pos))
+    image = rng.random((24, 24, 24)).astype(np.float32)
+    labels = (image > 0.8).astype(np.float32)
+    mask = np.ones((24, 24, 24), np.float32)
+    data = TrainData.build(image, labels, mask, spec.valid_size(9))
 
     tr = Trainer(spec, cfg, seed=0)
     state = tr.init_state()
-    dp_step, _ = make_dp_train_step(spec, cfg, (24, 24, 24), mesh)
+    dp_step, _, _ = make_dp_train_step(spec, cfg, mesh)
     key = jax.random.PRNGKey(0)
     losses = []
     for i in range(30):
         key, k = jax.random.split(key)
-        state, m = dp_step(state, k, image, labels, mask, pos_locs, n_pos)
+        state, m = dp_step(state, k, data)
         losses.append(float(m["loss"]))
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_dp_multi_volume():
+    """DP step over a list of differently-shaped labeled volumes."""
+    from flypylib_tpu.train.trainer import TrainData
+
+    spec = baseline_model(features=(4,), dilations=(1,), head_features=8,
+                          dtype=jnp.float32)
+    cfg = TrainConfig(patch_size=9, batch_size=8)
+    mesh = make_mesh(4, axis="data")
+    rng = np.random.default_rng(2)
+    images = [rng.random((20, 20, 20)).astype(np.float32),
+              rng.random((24, 16, 28)).astype(np.float32)]
+    labels = [(im > 0.9).astype(np.float32) for im in images]
+    masks = [np.ones_like(im) for im in images]
+    data = TrainData.build(images, labels, masks, spec.valid_size(9))
+
+    tr = Trainer(spec, cfg, seed=0)
+    state = tr.init_state()
+    dp_step, _, _ = make_dp_train_step(spec, cfg, mesh)
+    state, m = dp_step(state, jax.random.PRNGKey(0), data)
+    assert np.isfinite(float(m["loss"]))

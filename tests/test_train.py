@@ -73,3 +73,28 @@ def test_checkpoint_roundtrip(tmp_path):
         jax.tree_util.tree_leaves(tr2.state.params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multi_volume_training():
+    """Train over a list of differently-shaped labeled volumes."""
+    imgs, labs, msks = [], [], []
+    for seed, size in [(0, 40), (1, 48)]:
+        im, lb, mk, _ = synthetic_task(size=size, seed=seed)
+        imgs.append(im)
+        labs.append(lb)
+        msks.append(mk)
+    cfg = TrainConfig(patch_size=13, batch_size=8, steps_per_epoch=10,
+                      learning_rate=3e-3)
+    tr = Trainer(small_spec(), cfg, seed=0)
+    hist = tr.fit(imgs, labs, msks, epochs=2)
+    assert np.isfinite(hist[-1]["loss"])
+    assert hist[-1]["loss"] < hist[0]["loss"] * 1.5  # runs without blow-up
+
+
+def test_uint8_image_training():
+    image, labels, mask, _ = synthetic_task()
+    img8 = (np.clip(image, 0, 1) * 255).astype(np.uint8)
+    cfg = TrainConfig(patch_size=13, batch_size=8, steps_per_epoch=5)
+    tr = Trainer(small_spec(), cfg, seed=0)
+    hist = tr.fit(img8, labels, mask, epochs=1)
+    assert np.isfinite(hist[0]["loss"])
