@@ -38,6 +38,7 @@ class FplNetwork:
         self.context = spec.context
         self.trainer = Trainer(spec, train_config, seed=seed)
         self._tiled: TiledInference | None = None
+        self._tiled_key = None
 
     # -- train ------------------------------------------------------------
     def train(
@@ -102,17 +103,13 @@ class FplNetwork:
         keep_on_device: bool = False,
     ):
         """Whole-volume probability map via overlap-tiled inference."""
-        if (
-            self._tiled is None
-            or self._tiled.tile_out != self._tiled.spec.valid_size(
-                tile_out + 2 * self.context
-            ) - 2 * self.context
-            or self._tiled.tile_batch != tile_batch
-        ):
+        key = (tile_out, tile_batch)
+        if self._tiled is None or self._tiled_key != key:
             self._tiled = TiledInference(
                 self.spec, self.variables, tile_out=tile_out,
                 tile_batch=tile_batch,
             )
+            self._tiled_key = key
         else:
             self._tiled.variables = self.variables
         return self._tiled.infer(volume, keep_on_device=keep_on_device)

@@ -118,3 +118,49 @@ def test_components_empty():
     vol = np.zeros((8, 8, 8), dtype=np.float32)
     assert len(label_components(vol, threshold=0.5)) == 0
     assert len(components_host(vol, threshold=0.5)) == 0
+
+
+@pytest.mark.parametrize("pointer_jump,sweeps", [(True, 1), (False, 1),
+                                                 (True, 4), (False, 8)])
+def test_components_variants_match(rng, pointer_jump, sweeps):
+    """Label-propagation variants (pointer jumping / sweep chunking) all
+    converge to the same components as scipy."""
+    from flypylib_tpu.ops.components import components_device
+    from flypylib_tpu.ops.host_reference import sort_detections
+
+    vol = (rng.random((20, 20, 20)) > 0.75).astype(np.float32)
+    host = components_host(vol, threshold=0.5)
+    cents, conf, valid, over = components_device(
+        vol, threshold=0.5, max_components=2048,
+        sweeps_per_check=sweeps, pointer_jump=pointer_jump,
+    )
+    assert not bool(over)
+    valid = np.asarray(valid)
+    dev = sort_detections(np.asarray(cents)[valid], np.asarray(conf)[valid])
+    assert_same_detections(host, dev, loc_tol=1e-3)
+
+
+def test_components_elongated_snake(rng):
+    """High-diameter component (worst case for sweep counts)."""
+    vol = np.zeros((4, 4, 64), dtype=np.float32)
+    vol[1, 1, :] = 1.0  # 64-voxel line
+    vol[1, 3, 10] = 1.0  # separate singleton
+    host = components_host(vol, threshold=0.5)
+    dev = label_components(vol, threshold=0.5, max_components=16)
+    assert len(host) == 2
+    assert_same_detections(host, dev, loc_tol=1e-3)
+
+
+def test_components_candidate_overflow_retries(rng):
+    from flypylib_tpu.ops.components import components_device
+
+    vol = (rng.random((16, 16, 16)) > 0.5).astype(np.float32)
+    # tiny candidate budget must flag overflow...
+    _, _, _, over = components_device(
+        vol, threshold=0.5, max_components=4, max_candidates=8
+    )
+    assert bool(over)
+    # ...and the public wrapper retries until exact
+    host = components_host(vol, threshold=0.5)
+    dev = label_components(vol, threshold=0.5, max_components=4)
+    assert_same_detections(host, dev, loc_tol=1e-3)
