@@ -30,10 +30,16 @@ from flypylib_tpu.utils import to3d
 
 @dataclass
 class Tbars:
-    """Point annotations: centers in (z, y, x) voxel coords + confidence."""
+    """Point annotations: centers in (z, y, x) voxel coords + confidence.
+
+    ``partners`` optionally carries each T-bar's postsynaptic partner
+    (PSD) locations as a list of (k_i, 3) float arrays in (z, y, x) —
+    preserved through the Raveler JSON round-trip.
+    """
 
     locs: np.ndarray  # (N, 3) float64, (z, y, x)
     conf: np.ndarray = field(default=None)  # (N,) float64
+    partners: list = field(default=None)  # list of (k_i, 3) arrays or None
 
     def __post_init__(self):
         self.locs = np.asarray(self.locs, dtype=np.float64).reshape(-1, 3)
@@ -41,6 +47,12 @@ class Tbars:
             self.conf = np.ones(len(self.locs), dtype=np.float64)
         self.conf = np.asarray(self.conf, dtype=np.float64).reshape(-1)
         assert len(self.conf) == len(self.locs)
+        if self.partners is not None:
+            assert len(self.partners) == len(self.locs)
+            self.partners = [
+                np.asarray(p, dtype=np.float64).reshape(-1, 3)
+                for p in self.partners
+            ]
 
     def __len__(self):
         return len(self.locs)
@@ -65,7 +77,7 @@ def load_from_json(source) -> Tbars:
     else:
         obj = source
 
-    locs_xyz, conf = [], []
+    locs_xyz, conf, partners = [], [], []
     if isinstance(obj, dict) and "data" in obj:  # Raveler-style
         for item in obj["data"]:
             tb = item.get("T-bar", item.get("tbar"))
@@ -73,34 +85,50 @@ def load_from_json(source) -> Tbars:
                 continue
             locs_xyz.append(tb["location"])
             conf.append(float(tb.get("confidence", 1.0)))
-    elif isinstance(obj, list):  # DVID element list
+            plocs = []
+            for p in item.get("partners") or []:
+                loc = p["location"] if isinstance(p, dict) else p
+                plocs.append(list(loc)[::-1])  # [x,y,z] -> (z,y,x)
+            partners.append(np.asarray(plocs, np.float64).reshape(-1, 3))
+    elif isinstance(obj, list):  # DVID element list (PreSyn only)
         for el in obj:
             if el.get("Kind", "PreSyn") != "PreSyn":
                 continue
             locs_xyz.append(el["Pos"])
             prop = el.get("Prop") or {}
             conf.append(float(prop.get("conf", 1.0)))
+            partners.append(np.zeros((0, 3)))
     else:
         raise ValueError("unrecognized T-bar JSON structure")
 
     locs_xyz = np.asarray(locs_xyz, dtype=np.float64).reshape(-1, 3)
-    return Tbars(locs=locs_xyz[:, ::-1], conf=np.asarray(conf))
+    return Tbars(
+        locs=locs_xyz[:, ::-1], conf=np.asarray(conf), partners=partners
+    )
 
 
 def save_to_json(tbars: Tbars, path: str | None = None, style: str = "raveler"):
     """Serialize T-bars back to JSON (Raveler or DVID element style)."""
     if style == "raveler":
-        obj = {
-            "data": [
+        data = []
+        for i, (x, y, z, c) in enumerate(tbars.as_xyzc()):
+            plist = []
+            if tbars.partners is not None:
+                plist = [
+                    {"location": [int(px), int(py), int(pz)]}
+                    for (pz, py, px) in tbars.partners[i]
+                ]
+            data.append(
                 {
                     "T-bar": {
                         "location": [int(x), int(y), int(z)],
                         "confidence": float(c),
                     },
-                    "partners": [],
+                    "partners": plist,
                 }
-                for (x, y, z, c) in tbars.as_xyzc()
-            ],
+            )
+        obj = {
+            "data": data,
             "metadata": {"description": "synapse annotations", "file version": 1},
         }
     elif style == "dvid":
