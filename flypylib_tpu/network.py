@@ -13,14 +13,12 @@ callable, or a ready ``ModelSpec`` — mirroring flypylib's
 
 from __future__ import annotations
 
-import jax
 import numpy as np
 
 from flypylib_tpu.infer.tiled import TiledInference
 from flypylib_tpu.io.synapses import Tbars, make_training_volumes
 from flypylib_tpu.models.zoo import MODEL_ZOO, ModelSpec
 from flypylib_tpu.ops.components import label_components
-from flypylib_tpu.ops.matching import obj_pr_curve
 from flypylib_tpu.ops.nms import nms
 from flypylib_tpu.train.trainer import TrainConfig, Trainer
 

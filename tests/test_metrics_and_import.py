@@ -96,3 +96,27 @@ def test_keras_import_shape_mismatch(tmp_path):
     )
     with pytest.raises(ValueError, match="shape"):
         load_keras_weights(path, params2)
+
+
+def test_debug_toggles():
+    import jax
+
+    from flypylib_tpu.utils.debug import (
+        disable_nan_checks,
+        eager_mode,
+        enable_nan_checks,
+        nan_checks,
+    )
+
+    with nan_checks():
+        assert jax.config.jax_debug_nans
+        with pytest.raises(FloatingPointError):
+            jax.jit(lambda x: x / 0.0)(jnp.float32(1.0)).block_until_ready()
+    assert not jax.config.jax_debug_nans
+
+    with eager_mode():
+        # eager: python control flow on traced values works
+        def f(x):
+            return x + 1 if x > 0 else x - 1
+
+        assert float(f(jnp.float32(2.0))) == 3.0
