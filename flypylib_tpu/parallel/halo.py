@@ -56,12 +56,16 @@ def sharded_infer(
     mesh: Mesh,
     axis: str = "space",
     pad_mode: str = "reflect",
+    tile_z: int | None = None,
 ):
     """Volume-sharded whole-volume inference over a 1-D mesh axis.
 
     Returns the full probability map as a z-sharded global jax array
-    (same shape as ``volume``).  Each shard's forward runs over its whole
-    slab; combine with tile batching for slabs too big for HBM.
+    (same shape as ``volume``).  By default each shard's forward runs over
+    its whole slab; pass ``tile_z`` (must divide the slab depth and the
+    model's size_multiple) to bound per-shard activation memory — the
+    shard then scans over z-subtiles in HBM, so arbitrarily large slabs
+    fit (pod-scale volumes, eval config 5 [B:11]).
     """
     n = mesh.shape[axis]
     c = spec.context
@@ -92,20 +96,49 @@ def sharded_infer(
     zpad_hi = jnp.asarray(padded_all[c + vz_p :])
     work = jnp.asarray(padded_all[c : c + vz_p])
 
-    @functools.partial(
-        shard_map,
+    if tile_z is not None:
+        if s % tile_z != 0:
+            raise ValueError(f"tile_z {tile_z} must divide z-slab {s}")
+        if spec.size_multiple > 1 and tile_z % spec.size_multiple != 0:
+            raise ValueError(
+                f"tile_z {tile_z} must be a multiple of "
+                f"{spec.size_multiple} for pooling-phase alignment"
+            )
+
+    def fn(variables, slab, lo_pad, hi_pad):
+        lo, hi = _edge_halo_exchange(slab, lo_pad, hi_pad, c, c, axis)
+        x = jnp.concatenate([lo, slab, hi], axis=0)
+        if tile_z is None:
+            logits = spec.module.apply(
+                variables, x[None, ..., None], train=False
+            )
+            return jax.nn.sigmoid(logits[0, ..., 0])
+
+        # bounded-memory path: scan over z-subtiles of the slab
+        def body(out, t):
+            xt = lax.dynamic_slice(
+                x, (t * tile_z, 0, 0),
+                (tile_z + 2 * c, x.shape[1], x.shape[2]),
+            )
+            logits = spec.module.apply(
+                variables, xt[None, ..., None], train=False
+            )
+            out = lax.dynamic_update_slice(
+                out, jax.nn.sigmoid(logits[0, ..., 0]), (t * tile_z, 0, 0)
+            )
+            return out, None
+
+        out0 = jnp.zeros((s, vy, vx), jnp.float32)
+        out, _ = lax.scan(body, out0, jnp.arange(s // tile_z))
+        return out
+
+    out = jax.jit(shard_map(
+        fn,
         mesh=mesh,
         in_specs=(P(), P(axis, None, None), P(), P()),
         out_specs=P(axis, None, None),
         check_vma=False,
-    )
-    def fn(variables, slab, lo_pad, hi_pad):
-        lo, hi = _edge_halo_exchange(slab, lo_pad, hi_pad, c, c, axis)
-        x = jnp.concatenate([lo, slab, hi], axis=0)
-        logits = spec.module.apply(variables, x[None, ..., None], train=False)
-        return jax.nn.sigmoid(logits[0, ..., 0])
-
-    out = jax.jit(fn)(variables, work, zpad_lo, zpad_hi)
+    ))(variables, work, zpad_lo, zpad_hi)
     return out[:vz]
 
 

@@ -73,3 +73,14 @@ def test_tiled_unet(rng):
     mono = monolithic(spec, variables, vol)
     eng = TiledInference(spec, variables, tile_out=12)
     np.testing.assert_array_equal(eng.infer(vol), mono)
+
+
+def test_host_stream_equals_device_path(small_model, rng):
+    """The double-buffered host-feed path (for volumes too big to hold
+    padded input + output in HBM) matches the single-dispatch path."""
+    spec, variables = small_model
+    vol = rng.random((30, 25, 33)).astype(np.float32)
+    eng = TiledInference(spec, variables, tile_out=16, tile_batch=2)
+    on_dev = eng.infer(vol)
+    streamed = eng.infer(vol, host_stream=True)
+    np.testing.assert_array_equal(on_dev, streamed)

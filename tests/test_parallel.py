@@ -169,3 +169,24 @@ def test_dp_multi_volume():
     dp_step, _, _ = make_dp_train_step(spec, cfg, mesh)
     state, m = dp_step(state, jax.random.PRNGKey(0), data)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_sharded_infer_tiled_z(small_model, rng):
+    """Bounded-memory per-shard z-tiling matches monolithic bitwise."""
+    spec, variables = small_model
+    mesh = make_mesh(4, axis="space")
+    vol = rng.random((32, 18, 18)).astype(np.float32)
+    mono = monolithic(spec, variables, vol)
+    for tz in (2, 4, 8):
+        shard = np.asarray(
+            sharded_infer(spec, variables, vol, mesh, tile_z=tz)
+        )
+        np.testing.assert_array_equal(shard, mono)
+
+
+def test_sharded_infer_tile_z_validation(small_model):
+    spec, variables = small_model
+    mesh = make_mesh(4, axis="space")
+    vol = np.zeros((32, 16, 16), np.float32)
+    with pytest.raises(ValueError, match="divide"):
+        sharded_infer(spec, variables, vol, mesh, tile_z=3)
