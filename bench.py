@@ -33,7 +33,7 @@ def make_volume(size: int, n_blobs: int, seed: int = 0) -> np.ndarray:
     return np.clip(vol, 0, 1)
 
 
-def bench_tpu(size: int = 256, tile_out: int = 128, tile_batch: int = 1):
+def bench_tpu(size: int = 256, tile_out: int = 128, tile_batch: int = 4):
     import jax
     import jax.numpy as jnp
 
@@ -60,11 +60,11 @@ def bench_tpu(size: int = 256, tile_out: int = 128, tile_batch: int = 1):
     )
     nms_det, cc_det = pipe(vol)  # warm-up / compile
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         pipe(vol)
         times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt = min(times)  # min over 5: the tunnel adds heavy-tailed jitter
     return vol.size / dt / 1e6, {
         "nms_detections": len(nms_det),
         "cc_components": len(cc_det),
@@ -123,7 +123,10 @@ def main():
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     value, info = bench_tpu(size=size)
     try:
-        baseline = bench_cpu_reference(size=min(size, 96))
+        # small cutout: the CPU path is ~1000x slower, a 64^3 measurement
+        # already averages thousands of conv windows and keeps total bench
+        # wall-clock within the driver's budget
+        baseline = bench_cpu_reference(size=min(size, 64))
         vs = value / baseline
     except Exception:
         baseline, vs = None, None

@@ -70,3 +70,38 @@ def test_model_zoo_names():
     for name in ("baseline", "vgg_like", "unet"):
         net = fpl.FplNetwork(name)
         assert net.context > 0
+
+
+def test_evaluate_on_prob_map(trained_net):
+    """evaluate() accepts a raw probability volume (runs NMS internally)."""
+    net, image, tb, _ = trained_net
+    prob = net.infer(image, tile_out=24)
+    curve = net.evaluate(prob, tb, dist_thresh=3.0, window=3, threshold=0.3)
+    assert "precision" in curve and "recall" in curve
+    assert curve["num_gt"] == len(tb)
+
+
+def test_unet_train_smoke():
+    """U-Net trains end to end on the virtual CPU (config 4 smoke)."""
+    from flypylib_tpu.models.zoo import unet
+
+    spec = unet(base_features=4, levels=1, convs_per_stage=1,
+                dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    size = spec.valid_size(36)
+    image, _ = make_blob_volume((size,) * 3,
+                                centers=[(12, 12, 12), (24, 24, 24)])
+    labels = (image > 0.5).astype(np.float32)
+    mask = np.ones_like(labels)
+    net = fpl.FplNetwork(
+        spec,
+        train_config=TrainConfig(patch_size=spec.valid_size(20),
+                                 batch_size=4, steps_per_epoch=10,
+                                 learning_rate=1e-3),
+    )
+    hist = net.train(image.astype(np.float32), labels=labels, mask=mask,
+                     epochs=2)
+    assert np.isfinite(hist[-1]["loss"])
+    det = net.detect(image.astype(np.float32), threshold=0.5,
+                     tile_out=20, method="components")
+    assert det is not None
