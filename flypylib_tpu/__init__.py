@@ -31,15 +31,31 @@ The public API surface preserves flypylib's verbs: ``FplNetwork`` with
 
 from flypylib_tpu.network import FplNetwork
 from flypylib_tpu.ops.nms import nms
+from flypylib_tpu.ops.components import label_components
 from flypylib_tpu.ops.matching import evaluate, obj_pr, obj_pr_curve, voxel_pr
+from flypylib_tpu.io.synapses import (
+    Tbars,
+    load_from_json,
+    save_to_json,
+    tbars_to_volume,
+)
+
+# flypylib-style aliases (SURVEY.md section 2.2 row 3 symbol names)
+obj_candidates = nms
 
 __version__ = "0.1.0"
 
 __all__ = [
     "FplNetwork",
     "nms",
+    "obj_candidates",
+    "label_components",
     "evaluate",
     "obj_pr",
     "obj_pr_curve",
     "voxel_pr",
+    "Tbars",
+    "load_from_json",
+    "save_to_json",
+    "tbars_to_volume",
 ]

@@ -47,21 +47,20 @@ def _neighbor_min(lab: jax.Array, mask: jax.Array, sentinel) -> jax.Array:
     return jnp.where(mask, out, sentinel)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("max_components", "max_candidates", "sweeps_per_check",
-                     "pointer_jump"),
-)
-def components_device(
+def cc_label_and_extract(
     prob: jax.Array,
-    threshold=0.5,
-    max_components: int = 1024,
+    threshold,
+    max_components: int,
     max_candidates: int | None = None,
     sweeps_per_check: int = 4,
     pointer_jump: bool = False,
 ):
-    """On-device CC: returns (centroids (K,3) f32, conf (K,) f32,
-    valid (K,) bool, overflowed () bool).
+    """Traceable CC core: label propagation + compacted extraction.
+
+    Returns ``(uniq (K,) local root ids ascending, sums (K,3) coordinate
+    sums, count (K,), conf (K,), valid (K,), overflowed (), lab (Z,Y,X)
+    converged labels)`` — shared by components_device and the sharded
+    seam-merging path (flypylib_tpu.parallel.halo.sharded_components).
 
     ``max_candidates`` bounds the number of above-threshold voxels (default
     16 * max_components); exceeding either bound sets ``overflowed``.
@@ -142,13 +141,38 @@ def components_device(
     )
     conf = jax.ops.segment_max(prob_c, seg, num_segments)
     valid = (uniq < sentinel) & (count[:max_components] > 0)
-    centroids = sums / jnp.maximum(count, 1.0)[:, None]
     return (
-        centroids[:max_components],
+        uniq,
+        sums[:max_components],
+        count[:max_components],
         conf[:max_components],
         valid,
         overflowed,
+        lab,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_components", "max_candidates", "sweeps_per_check",
+                     "pointer_jump"),
+)
+def components_device(
+    prob: jax.Array,
+    threshold=0.5,
+    max_components: int = 1024,
+    max_candidates: int | None = None,
+    sweeps_per_check: int = 4,
+    pointer_jump: bool = False,
+):
+    """On-device CC: returns (centroids (K,3) f32, conf (K,) f32,
+    valid (K,) bool, overflowed () bool)."""
+    uniq, sums, count, conf, valid, overflowed, _ = cc_label_and_extract(
+        prob, threshold, max_components, max_candidates, sweeps_per_check,
+        pointer_jump,
+    )
+    centroids = sums / jnp.maximum(count, 1.0)[:, None]
+    return centroids, conf, valid, overflowed
 
 
 def label_components(

@@ -5,7 +5,11 @@ from flypylib_tpu.parallel.mesh import (
     batch_sharded,
 )
 from flypylib_tpu.parallel.train import make_dp_train_step
-from flypylib_tpu.parallel.halo import sharded_infer, sharded_nms
+from flypylib_tpu.parallel.halo import (
+    sharded_infer,
+    sharded_nms,
+    sharded_components,
+)
 
 __all__ = [
     "make_mesh",
@@ -15,4 +19,5 @@ __all__ = [
     "make_dp_train_step",
     "sharded_infer",
     "sharded_nms",
+    "sharded_components",
 ]

@@ -213,3 +213,116 @@ def sharded_nms(
         )
     keep = valid & (locs[:, 0] < vz)
     return sort_detections(locs[keep].astype(np.float64), conf[keep])
+
+
+def sharded_components(
+    prob,
+    mesh: Mesh,
+    axis: str = "space",
+    threshold: float = 0.5,
+    max_components: int = 1024,
+) -> Tbars:
+    """Connected components on a z-sharded probability map with an exact
+    cross-shard seam merge.
+
+    Each shard labels its slab on device (flypylib_tpu.ops.components
+    core) and exports, besides its compacted component stats, the
+    converged label ids of its two boundary z-planes.  The host then
+    unions components whose boundary voxels are 6-adjacent across a seam
+    (same (y, x), consecutive z) — a tiny union-find over <= n*K
+    components — and merges counts/coordinate-sums/max-conf, so centroids
+    and confidences equal a monolithic run's exactly.
+    """
+    from flypylib_tpu.ops.components import cc_label_and_extract
+
+    n = mesh.shape[axis]
+    prob = jnp.asarray(prob, dtype=jnp.float32)
+    vz, vy, vx = prob.shape
+    if vz % n != 0:
+        prob = jnp.pad(
+            prob, ((0, round_up(vz, n) - vz), (0, 0), (0, 0)),
+            constant_values=-jnp.inf,
+        )
+    s = prob.shape[0] // n
+    K = max_components
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None, None),),
+        out_specs=(P(axis), P(axis, None), P(axis), P(axis), P(axis), P(axis),
+                   P(axis, None), P(axis, None)),
+        check_vma=False,
+    )
+    def fn(slab):
+        uniq, sums, count, conf, valid, over, lab = cc_label_and_extract(
+            slab, threshold, K
+        )
+        return (
+            uniq, sums, count, conf, valid, over[None],
+            lab[0], lab[s - 1],
+        )
+
+    uniq, sums, count, conf, valid, over, tops, bots = jax.jit(fn)(prob)
+    if bool(np.asarray(over).any()):
+        return sharded_components(
+            np.asarray(prob), mesh, axis, threshold, max_components * 4
+        )
+
+    uniq = np.asarray(uniq).reshape(n, K)
+    sums = np.array(sums).reshape(n, K, 3)  # writable copy
+    count = np.asarray(count).reshape(n, K)
+    conf = np.asarray(conf).reshape(n, K)
+    valid = np.asarray(valid).reshape(n, K)
+    tops = np.asarray(tops).reshape(n, vy, vx)
+    bots = np.asarray(bots).reshape(n, vy, vx)
+    slab_sentinel = s * vy * vx
+
+    # globalize z sums (local z -> local z + shard offset)
+    sums[..., 0] += (np.arange(n)[:, None] * s) * count
+
+    # union-find over (shard, slot) nodes
+    parent = np.arange(n * K)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    for i in range(n - 1):
+        b, t = bots[i], tops[i + 1]
+        pair = (b < slab_sentinel) & (t < slab_sentinel)
+        if not pair.any():
+            continue
+        rb = b[pair]
+        rt = t[pair]
+        kb = np.searchsorted(uniq[i], rb)
+        kt = np.searchsorted(uniq[i + 1], rt)
+        for a, c in set(zip(kb.tolist(), kt.tolist())):
+            union(i * K + a, (i + 1) * K + c)
+
+    flat_valid = valid.reshape(-1)
+    flat_count = count.reshape(-1)
+    flat_sums = sums.reshape(-1, 3)
+    flat_conf = conf.reshape(-1)
+    roots = {}
+    for node in np.nonzero(flat_valid)[0]:
+        r = find(node)
+        if r not in roots:
+            roots[r] = [0.0, np.zeros(3), -np.inf]
+        roots[r][0] += flat_count[node]
+        roots[r][1] = roots[r][1] + flat_sums[node]
+        roots[r][2] = max(roots[r][2], flat_conf[node])
+
+    if not roots:
+        return Tbars(locs=np.zeros((0, 3)), conf=np.zeros((0,)))
+    locs = np.stack([v[1] / v[0] for v in roots.values()])
+    confs = np.asarray([v[2] for v in roots.values()])
+    keep = locs[:, 0] < vz  # drop anything from the -inf z padding
+    return sort_detections(locs[keep], confs[keep])

@@ -190,3 +190,49 @@ def test_sharded_infer_tile_z_validation(small_model):
     vol = np.zeros((32, 16, 16), np.float32)
     with pytest.raises(ValueError, match="divide"):
         sharded_infer(spec, variables, vol, mesh, tile_z=3)
+
+
+def test_sharded_components_seam_merge(rng):
+    """Components spanning shard seams merge exactly (centroid + conf)."""
+    from flypylib_tpu.ops.host_reference import components_host
+    from flypylib_tpu.parallel.halo import sharded_components
+    from tests.test_detect_ops import assert_same_detections
+
+    mesh = make_mesh(4, axis="space")
+    vol = np.zeros((32, 16, 16), dtype=np.float32)
+    vol[6:11, 8, 8] = [0.6, 0.7, 0.9, 0.7, 0.6]  # spans the z=8 seam
+    vol[14:18, 4, 4] = 0.8  # spans the z=16 seam
+    vol[20, 12, 12] = 0.75  # interior singleton
+    vol[7, 3, 3] = 0.65  # another interior
+    host = components_host(vol, threshold=0.5)
+    dev = sharded_components(vol, mesh, threshold=0.5, max_components=16)
+    assert len(host) == 4
+    assert_same_detections(host, dev, loc_tol=1e-4)
+
+
+def test_sharded_components_random(rng):
+    from flypylib_tpu.ops.host_reference import components_host
+    from flypylib_tpu.parallel.halo import sharded_components
+    from tests.test_detect_ops import assert_same_detections
+
+    mesh = make_mesh(8, axis="space")
+    vol = (rng.random((40, 12, 12)) > 0.8).astype(np.float32)
+    host = components_host(vol, threshold=0.5)
+    dev = sharded_components(vol, mesh, threshold=0.5, max_components=512)
+    assert len(host) > 10
+    assert_same_detections(host, dev, loc_tol=1e-3)
+
+
+def test_sharded_components_component_through_many_shards(rng):
+    """One component threading through all 4 shards (multi-seam chain)."""
+    from flypylib_tpu.ops.host_reference import components_host
+    from flypylib_tpu.parallel.halo import sharded_components
+    from tests.test_detect_ops import assert_same_detections
+
+    mesh = make_mesh(4, axis="space")
+    vol = np.zeros((32, 8, 8), dtype=np.float32)
+    vol[:, 4, 4] = 0.9  # a 32-voxel column through every shard
+    host = components_host(vol, threshold=0.5)
+    dev = sharded_components(vol, mesh, threshold=0.5, max_components=8)
+    assert len(host) == 1
+    assert_same_detections(host, dev, loc_tol=1e-4)
