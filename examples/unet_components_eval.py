@@ -11,9 +11,13 @@ Run: python examples/unet_components_eval.py [--size 64] [--epochs 3]
 from __future__ import annotations
 
 import argparse
+import pathlib
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import flypylib_tpu as fpl
 from flypylib_tpu.models.zoo import unet

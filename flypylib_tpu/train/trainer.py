@@ -344,8 +344,11 @@ class Trainer:
         return self.history
 
     def save(self, path: str):
+        import os
+
         import orbax.checkpoint as ocp
 
+        path = os.path.abspath(path)  # orbax requires absolute paths
         ckpt = ocp.StandardCheckpointer()
         ckpt.save(
             path,
@@ -358,8 +361,11 @@ class Trainer:
         ckpt.wait_until_finished()
 
     def restore(self, path: str):
+        import os
+
         import orbax.checkpoint as ocp
 
+        path = os.path.abspath(path)
         if self.state is None:
             self.init_state()
         ckpt = ocp.StandardCheckpointer()
