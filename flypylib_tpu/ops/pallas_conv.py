@@ -31,23 +31,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _conv_kernel(x_ref, w_ref, b_ref, out_ref, *, BZ, BY, W, Ci, Co, d):
+def _conv_kernel(x_ref, w_ref, b_ref, out_ref, *, BZ, BY, W, Ci, Co, d,
+                 im2col):
     BZS, BYS = BZ + 2 * d, BY + 2 * d
     OW = W - 2 * d
 
-    rhs = [
-        [w_ref[:, dy, dx].reshape(3 * Ci, Co) for dx in range(3)]
-        for dy in range(3)
-    ]
     bias = b_ref[...].reshape(1, Co).astype(jnp.float32)
+    if im2col:
+        # weights laid out to match the lhs K order below:
+        # [(dy, dx) blocks] x [dz] x [ci]
+        rhs_full = jnp.transpose(w_ref[...], (1, 2, 0, 3, 4)).reshape(
+            27 * Ci, Co
+        )
+    else:
+        rhs = [
+            [w_ref[:, dy, dx].reshape(3 * Ci, Co) for dx in range(3)]
+            for dy in range(3)
+        ]
 
     # 2d zero tail rows: the dx row-shift reads up to 2d rows past the
     # plane end (positions cropped from the output)
     tail = jnp.zeros((2 * d, Ci), x_ref.dtype)
     for bz in range(BZ):
-        # ONE channel-concat of the three z-planes per output plane; all 9
-        # (dy, dx) taps then reuse it as zero-copy row slices (per-tap
-        # concats were the dominant cost — VMEM copies, not matmuls)
+        # ONE channel-concat of the three z-planes per output plane; the 9
+        # (dy, dx) taps reuse it as zero-copy row slices
         base = jnp.concatenate(
             [
                 jnp.concatenate(
@@ -57,20 +64,46 @@ def _conv_kernel(x_ref, w_ref, b_ref, out_ref, *, BZ, BY, W, Ci, Co, d):
             ],
             axis=1,
         )
-        acc = jnp.zeros((BY * W, Co), jnp.float32)
-        for dy in range(3):
-            for dx in range(3):
-                off = dy * d * W + dx * d
-                acc += jnp.dot(
-                    base[off : off + BY * W],
-                    rhs[dy][dx],
-                    preferred_element_type=jnp.float32,
+        if im2col:
+            # full im2col: K = 27*Ci in ONE matmul — far better MXU
+            # contraction utilization than nine K=3*Ci matmuls.  Row
+            # shifts use pltpu.roll so every concat operand sits at
+            # sublane offset 0 (Mosaic rejects concats of slices with
+            # mismatched non-concat-dim offsets); the circular wraparound
+            # lands in rows beyond BY*W, which are never read.
+            def build_and_dot(scr):
+                for k, (dy, dx) in enumerate(
+                    (dy, dx) for dy in range(3) for dx in range(3)
+                ):
+                    off = dy * d * W + dx * d
+                    scr[:, k * 3 * Ci : (k + 1) * 3 * Ci] = base[
+                        off : off + BY * W
+                    ]
+                return jnp.dot(
+                    scr[:], rhs_full, preferred_element_type=jnp.float32
                 )
+
+            acc = pl.run_scoped(
+                build_and_dot,
+                pltpu.VMEM((BY * W, 27 * Ci), base.dtype),
+            )
+        else:
+            acc = jnp.zeros((BY * W, Co), jnp.float32)
+            for dy in range(3):
+                for dx in range(3):
+                    off = dy * d * W + dx * d
+                    acc += jnp.dot(
+                        base[off : off + BY * W],
+                        rhs[dy][dx],
+                        preferred_element_type=jnp.float32,
+                    )
         res = jnp.maximum(acc + bias, 0.0).astype(out_ref.dtype)
         out_ref[bz] = res.reshape(BY, W, Co)[:, :OW]
 
 
-@functools.partial(jax.jit, static_argnames=("dilation", "block", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("dilation", "block", "interpret", "im2col")
+)
 def conv3d_bias_relu(
     x: jax.Array,
     w: jax.Array,
@@ -78,6 +111,7 @@ def conv3d_bias_relu(
     dilation: int = 1,
     block: tuple[int, int] = (8, 8),
     interpret: bool = False,
+    im2col: bool = True,
 ) -> jax.Array:
     """Fused valid conv3d(3x3x3, dilated) + bias + ReLU.
 
@@ -97,7 +131,7 @@ def conv3d_bias_relu(
 
     dtype = x.dtype
     kernel = functools.partial(
-        _conv_kernel, BZ=BZ, BY=BY, W=W, Ci=Ci, Co=Co, d=d
+        _conv_kernel, BZ=BZ, BY=BY, W=W, Ci=Ci, Co=Co, d=d, im2col=im2col
     )
     grid = (-(-D_out // BZ), -(-H_out // BY))
 

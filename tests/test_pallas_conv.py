@@ -45,3 +45,15 @@ def test_too_small_input_raises(rng):
     w = jnp.zeros((3, 3, 3, 4, 8))
     with pytest.raises(ValueError):
         conv3d_bias_relu(x, w, jnp.zeros(8), interpret=True)
+
+
+@pytest.mark.parametrize("im2col", [True, False])
+def test_both_formulations_match(rng, im2col):
+    x = jnp.asarray(rng.normal(0, 1, (12, 12, 16, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.2, (3, 3, 3, 8, 16)).astype(np.float32))
+    b = jnp.asarray(rng.normal(0, 0.1, 16).astype(np.float32))
+    ref = conv3d_reference(x, w, b, 1)
+    got = conv3d_bias_relu(x, w, b, block=(4, 4), interpret=True,
+                           im2col=im2col)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
+                               rtol=1e-4)
