@@ -79,6 +79,8 @@ class DetectPipeline:
         self.vol_shape = to3d(vol_shape)
         self.window = to3d(window)
         self.threshold = float(threshold)
+        n_vox = int(np.prod(self.vol_shape))
+        max_detections = min(max_detections, n_vox)  # top_k k <= volume
         self.max_detections = max_detections
         self.max_components = max_components
         self.input_scale = input_scale
@@ -110,9 +112,10 @@ class DetectPipeline:
             self._slabs.append((zs, jnp.asarray(local)))
         self._tin = tin
 
-        @functools.partial(jax.jit, donate_argnums=(3,),
-                           static_argnames=("z_off",))
+        @functools.partial(jax.jit, donate_argnums=(3,))
         def fwd_slab(variables, slab, corners_local, out, z_off):
+            # z_off is traced (dynamic_update_slice takes traced starts):
+            # every slab shares ONE compiled executable
             scale = input_scale
             if slab.dtype == jnp.uint8:
                 scale = (1.0 / 255.0) if scale is None else scale
@@ -146,7 +149,7 @@ class DetectPipeline:
             return out
 
         @jax.jit
-        def post(out, valid_lo, valid_hi):
+        def post(out, valid_lo, valid_hi, threshold):
             prob = out[:vz, :vy, :vx]
             # out-of-bounds masking (traced): voxels outside
             # [valid_lo, valid_hi) become -inf so they can neither be
@@ -171,7 +174,7 @@ class DetectPipeline:
                 stride = max(1, prob.size // (1 << 20))
                 thr = jnp.quantile(prob[::stride], threshold_quantile)
             else:
-                thr = jnp.float32(self.threshold)
+                thr = threshold  # traced: threshold changes don't recompile
             mask = candidate_mask(prob, self.window, thr)
             nms_out = _extract_topk(prob, mask, max_detections)
             if run_cc:
@@ -231,14 +234,18 @@ class DetectPipeline:
         ]
         out = jnp.zeros(self._out_shape, dtype=jnp.float32)
         for (zs, local), slab in zip(self._slabs, slab_devs):
-            out = self._fwd_slab(self.variables, slab, local, out, z_off=zs)
+            out = self._fwd_slab(
+                self.variables, slab, local, out, jnp.int32(zs)
+            )
         lo = jnp.asarray(
             valid_lo if valid_lo is not None else (0, 0, 0), jnp.int32
         )
         hi = jnp.asarray(
             valid_hi if valid_hi is not None else self.vol_shape, jnp.int32
         )
-        (locs, conf, valid), cc = self._post(out, lo, hi)
+        (locs, conf, valid), cc = self._post(
+            out, lo, hi, jnp.float32(self.threshold)
+        )
 
         valid = np.asarray(valid)
         n = int(valid.sum())

@@ -6,8 +6,11 @@ JSON state file, one entry per ROI (pending/done, detection counts) — so a
 killed job resumes where it stopped.  ROI volumes are prefetched on a
 background thread (network/disk rides under TPU compute), pushed through a
 ``DetectPipeline`` (one upload + one dispatch per ROI; uniform ROI shapes
-share one compile), and detections can be pushed back to DVID as
-annotation elements.
+share one compile), deduplicated by ROI ownership where fetch boxes
+overlap, and detections can be pushed back to DVID as annotation
+elements.  Each ROI is processed independently (reflect-padded at its own
+borders, flypylib block style); for bit-exact whole-volume NMS semantics
+across ROI seams use flypylib_tpu.infer.large instead.
 
 Sources/sinks are callables so HDF5, DVID, or synthetic backends plug in:
 ``source(roi) -> (z,y,x) array``, ``sink(roi, tbars) -> None``.
@@ -29,14 +32,30 @@ from flypylib_tpu.io.synapses import Tbars
 
 @dataclass(frozen=True)
 class ROI:
-    """offset/size in (z, y, x) voxels."""
+    """offset/size in (z, y, x) voxels.
+
+    ``own_offset``/``own_size`` optionally define the sub-box this ROI
+    *owns* when fetch boxes overlap (grid_rois shifts edge ROIs inward to
+    keep shapes uniform): detections outside the owned box are dropped so
+    overlapping ROIs never double-report a synapse.  Default: the full ROI.
+    """
 
     offset: tuple[int, int, int]
     size: tuple[int, int, int]
+    own_offset: tuple[int, int, int] | None = None
+    own_size: tuple[int, int, int] | None = None
 
     @property
     def key(self) -> str:
         return "{}_{}_{}__{}_{}_{}".format(*self.offset, *self.size)
+
+    def owned(self) -> tuple[np.ndarray, np.ndarray]:
+        """(lo, hi) of the owned box in global coords."""
+        lo = np.asarray(self.own_offset
+                        if self.own_offset is not None else self.offset)
+        size = np.asarray(self.own_size
+                          if self.own_size is not None else self.size)
+        return lo, lo + size
 
 
 def dvid_source(client, instance: str):
@@ -131,6 +150,20 @@ def stream_rois(
         t0 = time.perf_counter()
         nms_det, cc_det = pipeline(vol)
         dt = time.perf_counter() - t0
+
+        def filter_owned(det):
+            if det is None or len(det) == 0:
+                return det
+            lo, hi = roi.owned()
+            local_lo = lo - np.asarray(roi.offset)
+            local_hi = hi - np.asarray(roi.offset)
+            keep = np.all(
+                (det.locs >= local_lo) & (det.locs < local_hi), axis=1
+            )
+            return Tbars(locs=det.locs[keep], conf=det.conf[keep])
+
+        nms_det = filter_owned(nms_det)
+        cc_det = filter_owned(cc_det)
         if sink is not None:
             sink(roi, nms_det)
         info = {
@@ -148,13 +181,29 @@ def stream_rois(
 
 def grid_rois(volume_size, roi_size, offset=(0, 0, 0)) -> list[ROI]:
     """Cover ``volume_size`` with a grid of equal ROIs (edges clipped to a
-    full ROI by shifting the last one inward, flypylib block-math style)."""
+    full ROI by shifting the last one inward, flypylib block-math style).
+
+    Each ROI carries its *owned* sub-box — the non-overlapping partition
+    cell it is responsible for — so overlapping edge ROIs never
+    double-report detections (stream_rois filters by ownership).
+    """
     from flypylib_tpu.utils import block_starts, to3d
 
     vs, rs, off = to3d(volume_size), to3d(roi_size), to3d(offset)
-    axes = [block_starts(v, min(r, v)) for v, r in zip(vs, rs)]
     size = tuple(min(r, v) for v, r in zip(vs, rs))
+    axes = []
+    for v, s in zip(vs, size):
+        starts = block_starts(v, s)
+        ends = starts[1:] + [v]  # ownership partition boundaries
+        axes.append(list(zip(starts, ends)))
     return [
-        ROI(offset=(off[0] + z, off[1] + y, off[2] + x), size=size)
-        for z in axes[0] for y in axes[1] for x in axes[2]
+        ROI(
+            offset=(off[0] + z0, off[1] + y0, off[2] + x0),
+            size=size,
+            own_offset=(off[0] + z0, off[1] + y0, off[2] + x0),
+            own_size=(ze - z0, ye - y0, xe - x0),
+        )
+        for (z0, ze) in axes[0]
+        for (y0, ye) in axes[1]
+        for (x0, xe) in axes[2]
     ]

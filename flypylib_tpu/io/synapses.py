@@ -115,13 +115,13 @@ def save_to_json(tbars: Tbars, path: str | None = None, style: str = "raveler"):
             plist = []
             if tbars.partners is not None:
                 plist = [
-                    {"location": [int(px), int(py), int(pz)]}
+                    {"location": [int(round(px)), int(round(py)), int(round(pz))]}
                     for (pz, py, px) in tbars.partners[i]
                 ]
             data.append(
                 {
                     "T-bar": {
-                        "location": [int(x), int(y), int(z)],
+                        "location": [int(round(x)), int(round(y)), int(round(z))],
                         "confidence": float(c),
                     },
                     "partners": plist,
@@ -135,7 +135,7 @@ def save_to_json(tbars: Tbars, path: str | None = None, style: str = "raveler"):
         obj = [
             {
                 "Kind": "PreSyn",
-                "Pos": [int(x), int(y), int(z)],
+                "Pos": [int(round(x)), int(round(y)), int(round(z))],
                 "Prop": {"conf": str(float(c))},
             }
             for (x, y, z, c) in tbars.as_xyzc()

@@ -37,6 +37,8 @@ def ensure_initialized(
         return True
     multi = (
         coordinator_address is not None
+        or num_processes is not None
+        or process_id is not None
         or os.environ.get("COORDINATOR_ADDRESS")
         or int(os.environ.get("JAX_NUM_PROCESSES", "1")) > 1
     )

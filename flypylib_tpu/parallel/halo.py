@@ -168,6 +168,7 @@ def sharded_nms(
             constant_values=-jnp.inf,
         )
     s = prob.shape[0] // n
+    max_per_shard = min(max_per_shard, s * vy * vx)  # top_k k <= slab size
     neg = jnp.full((max(hl, hh), vy, vx), -jnp.inf, dtype=jnp.float32)
 
     @functools.partial(

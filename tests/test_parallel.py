@@ -236,3 +236,12 @@ def test_sharded_components_component_through_many_shards(rng):
     dev = sharded_components(vol, mesh, threshold=0.5, max_components=8)
     assert len(host) == 1
     assert_same_detections(host, dev, loc_tol=1e-4)
+
+
+def test_sharded_nms_default_max_per_shard_small_volume(rng):
+    """Default max_per_shard larger than the slab no longer crashes."""
+    mesh = make_mesh(8, axis="space")
+    vol = rng.random((16, 16, 16)).astype(np.float32)  # slab 512 < 1024
+    host = nms_host(vol, window=3, threshold=0.9)
+    dev = sharded_nms(vol, mesh, window=3, threshold=0.9)
+    np.testing.assert_array_equal(host.locs, dev.locs)

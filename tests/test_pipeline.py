@@ -77,3 +77,35 @@ def test_pipeline_no_cc(model, rng):
                           window=3, threshold=0.5, run_cc=False)
     nms_det, cc_det = pipe(vol)
     assert cc_det is None
+
+
+def test_pipeline_small_volume_default_caps(model, rng):
+    """Volumes smaller than the default max_detections no longer crash."""
+    spec, variables = model
+    vol = rng.random((8, 16, 16)).astype(np.float32)  # 2048 < 4096 default
+    pipe = DetectPipeline(spec, variables, vol.shape, tile_out=8, window=3,
+                          threshold=0.5)
+    nms_det, cc_det = pipe(vol)
+    assert nms_det is not None
+
+
+def test_pipeline_threshold_mutation_takes_effect(model, rng):
+    """threshold is traced: changing the attribute affects the next call
+    without a rebuild/recompile."""
+    spec, variables = model
+    vol = rng.random((20, 20, 20)).astype(np.float32)
+    from tests.test_pipeline import reference_prob
+
+    prob = reference_prob(spec, variables, vol)
+    t_lo = float(np.quantile(prob, 0.90))
+    t_hi = float(np.quantile(prob, 0.999))
+    pipe = DetectPipeline(spec, variables, vol.shape, tile_out=16, window=3,
+                          threshold=t_lo, max_detections=2048,
+                          max_components=2048)
+    many, _ = pipe(vol)
+    pipe.threshold = t_hi
+    few, _ = pipe(vol)
+    assert len(few) < len(many)
+    from flypylib_tpu.ops.host_reference import nms_host
+    from tests.test_detect_ops import assert_same_detections
+    assert_same_detections(nms_host(prob, window=3, threshold=t_hi), few)

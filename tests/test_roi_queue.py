@@ -81,3 +81,33 @@ def test_sink_receives_global_coords(tmp_path):
     stream_rois(fake_pipeline, rois, lambda r: vol, sink=sink)
     assert len(got) == 1
     np.testing.assert_array_equal(got[0].locs[0], [102, 203, 304])
+
+
+def test_grid_rois_ownership_partition():
+    """Every voxel is owned by exactly one ROI even when fetches overlap."""
+    rois = grid_rois((100, 64, 70), 64)
+    owned = np.zeros((100, 64, 70), dtype=np.int32)
+    for r in rois:
+        lo, hi = r.owned()
+        owned[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]] += 1
+    assert (owned == 1).all()
+
+
+def test_stream_rois_no_duplicates_in_overlap():
+    """A detection inside two overlapping fetch boxes is reported once."""
+    vol = np.zeros((100, 16, 16), dtype=np.float32)
+    vol[50, 8, 8] = 0.9  # inside both z ROIs' fetch ([0,64) and [36,100))
+    vol[10, 4, 4] = 0.8
+    vol[90, 4, 4] = 0.7
+    rois = grid_rois(vol.shape, (64, 16, 16))
+    assert len(rois) == 2
+
+    def source(roi):
+        sl = tuple(slice(o, o + s) for o, s in zip(roi.offset, roi.size))
+        return vol[sl]
+
+    def sink_count(results):
+        return sum(len(v) for v in results.values())
+
+    res = stream_rois(fake_pipeline, rois, source)
+    assert sink_count(res) == 3
