@@ -108,3 +108,33 @@ def profile_trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def plot_pr_curve(curves, path: str, title: str = "precision-recall"):
+    """Render one or more PR curves to an image file.
+
+    ``curves``: a single obj_pr_curve dict or ``{label: curve}`` mapping.
+    Uses matplotlib if available; raises ImportError otherwise.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if isinstance(curves, dict) and "precision" in curves:
+        curves = {"detections": curves}
+    fig, ax = plt.subplots(figsize=(5, 4))
+    for label, c in curves.items():
+        ax.plot(c["recall"], c["precision"], marker=".", markersize=3,
+                linewidth=1, label=str(label))
+    ax.set_xlabel("recall")
+    ax.set_ylabel("precision")
+    ax.set_xlim(0, 1.02)
+    ax.set_ylim(0, 1.02)
+    ax.grid(True, alpha=0.3)
+    ax.legend(loc="lower left", fontsize=8)
+    ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path

@@ -120,3 +120,18 @@ def test_debug_toggles():
             return x + 1 if x > 0 else x - 1
 
         assert float(f(jnp.float32(2.0))) == 3.0
+
+
+def test_plot_pr_curve(tmp_path):
+    pytest.importorskip("matplotlib")
+    from flypylib_tpu.utils.metrics import plot_pr_curve
+
+    curve = {
+        "precision": np.array([1.0, 0.9, 0.8]),
+        "recall": np.array([0.3, 0.6, 0.9]),
+    }
+    p = str(tmp_path / "pr.png")
+    plot_pr_curve({"run A": curve, "run B": curve}, p)
+    import os
+
+    assert os.path.getsize(p) > 1000
