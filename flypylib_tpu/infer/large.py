@@ -118,11 +118,9 @@ def detect_streaming(
                     min(cd + 2 * h, s - r0)
                     for cd, s, r0 in zip(core_dims, shape, region0)
                 ]
+                # DetectPipeline grows its top-k and retries on saturation,
+                # so the per-ROI detection list is always complete
                 nms_det, _ = pipe(block, valid_lo=vlo, valid_hi=vhi)
-                if len(nms_det) == max_detections_per_roi:
-                    raise RuntimeError(
-                        "ROI saturated max_detections_per_roi; raise it"
-                    )
                 # local coords are relative to lo_want; h of that is the
                 # conv context consumed by pre_padded, so prob index 0 is
                 # at global lo_want + ctx

@@ -80,9 +80,11 @@ class DetectPipeline:
         self.window = to3d(window)
         self.threshold = float(threshold)
         n_vox = int(np.prod(self.vol_shape))
+        self._n_vox = n_vox
         max_detections = min(max_detections, n_vox)  # top_k k <= volume
         self.max_detections = max_detections
         self.max_components = max_components
+        self.threshold_quantile = threshold_quantile
         self.input_scale = input_scale
         self.pad_mode = pad_mode
         self.run_cc = run_cc
@@ -148,45 +150,66 @@ class DetectPipeline:
             out, _ = lax.scan(body, out, corners_local)
             return out
 
-        @jax.jit
-        def post(out, valid_lo, valid_hi, threshold):
-            prob = out[:vz, :vy, :vx]
-            # out-of-bounds masking (traced): voxels outside
-            # [valid_lo, valid_hi) become -inf so they can neither be
-            # candidates nor suppress in-bounds candidates — exactly the
-            # monolithic -inf boundary semantics for ROI runs whose prob
-            # region extends past the true volume
-            zz = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 0)
-            yy = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 1)
-            xx = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 2)
-            inb = (
-                (zz >= valid_lo[0]) & (zz < valid_hi[0])
-                & (yy >= valid_lo[1]) & (yy < valid_hi[1])
-                & (xx >= valid_lo[2]) & (xx < valid_hi[2])
-            )
-            prob = jnp.where(inb, prob, -jnp.inf)
-            if threshold_quantile is not None:
-                # plane-subsampled quantile (~1M elements): a full-volume
-                # sort costs more than the rest of the postprocessing, and
-                # the operating point only needs to be statistically right.
-                # Whole z-planes keep the access contiguous (flat striding
-                # is a gather on TPU).
-                stride = max(1, prob.size // (1 << 20))
-                thr = jnp.quantile(prob[::stride], threshold_quantile)
-            else:
-                thr = threshold  # traced: threshold changes don't recompile
-            mask = candidate_mask(prob, self.window, thr)
-            nms_out = _extract_topk(prob, mask, max_detections)
-            if run_cc:
-                cc_out = components_device(
-                    prob, threshold=thr, max_components=max_components
+        def make_post(k_det: int, k_comp: int):
+            @jax.jit
+            def post(out, valid_lo, valid_hi, threshold):
+                prob = out[:vz, :vy, :vx]
+                # out-of-bounds masking (traced): voxels outside
+                # [valid_lo, valid_hi) become -inf so they can neither be
+                # candidates nor suppress in-bounds candidates — exactly the
+                # monolithic -inf boundary semantics for ROI runs whose prob
+                # region extends past the true volume
+                zz = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 0)
+                yy = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 1)
+                xx = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 2)
+                inb = (
+                    (zz >= valid_lo[0]) & (zz < valid_hi[0])
+                    & (yy >= valid_lo[1]) & (yy < valid_hi[1])
+                    & (xx >= valid_lo[2]) & (xx < valid_hi[2])
                 )
-            else:
-                cc_out = None
-            return nms_out, cc_out
+                n_inb = jnp.sum(inb, dtype=jnp.int32)
+                prob = jnp.where(inb, prob, -jnp.inf)
+                if threshold_quantile is not None:
+                    # plane-subsampled quantile (~1M elements): a
+                    # full-volume sort costs more than the rest of the
+                    # postprocessing, and the operating point only needs to
+                    # be statistically right.  Whole z-planes keep the
+                    # access contiguous (flat striding is a gather on TPU).
+                    # The quantile is taken over IN-BOUNDS voxels only:
+                    # after an ascending sort the -inf out-of-bounds voxels
+                    # occupy the low slots, so the in-bounds subset is the
+                    # top n_inb slots (linear interpolation, matching
+                    # jnp.quantile on that subset).
+                    stride = max(1, prob.size // (1 << 20))
+                    sub = jnp.sort(prob[::stride].reshape(-1))
+                    n_sub = sub.shape[0]
+                    n_in = jnp.maximum(
+                        jnp.sum(inb[::stride], dtype=jnp.int32), 1
+                    )
+                    pos = threshold_quantile * (n_in - 1).astype(jnp.float32)
+                    lo = jnp.floor(pos).astype(jnp.int32)
+                    frac = pos - lo.astype(jnp.float32)
+                    base = n_sub - n_in
+                    v0 = sub[jnp.minimum(base + lo, n_sub - 1)]
+                    v1 = sub[jnp.minimum(base + lo + 1, n_sub - 1)]
+                    thr = v0 * (1.0 - frac) + v1 * frac
+                else:
+                    thr = threshold  # traced: sweeps don't recompile
+                mask = candidate_mask(prob, self.window, thr)
+                nms_out = _extract_topk(prob, mask, k_det)
+                if run_cc:
+                    cc_out = components_device(
+                        prob, threshold=thr, max_components=k_comp
+                    )
+                else:
+                    cc_out = None
+                return nms_out, cc_out, n_inb
+
+            return post
 
         self._fwd_slab = fwd_slab
-        self._post = post
+        self._make_post = make_post
+        self._posts: dict = {}
 
     def prepare(self, volume: np.ndarray) -> np.ndarray:
         """Host-side pad (reflect halo + grid extension).  uint8 stays
@@ -218,12 +241,23 @@ class DetectPipeline:
         extra = [(0, os - s) for s, os in zip(self.vol_shape, self._out_shape)]
         return np.pad(padded, extra)
 
+    def _post_for(self, k_det: int, k_comp: int):
+        key = (k_det, k_comp)
+        if key not in self._posts:
+            self._posts[key] = self._make_post(k_det, k_comp)
+        return self._posts[key]
+
     def __call__(self, volume: np.ndarray, valid_lo=None, valid_hi=None):
         """volume -> (nms Tbars, cc Tbars | None).
 
         ``valid_lo``/``valid_hi`` optionally bound the region (in
         prob-volume coords) whose voxels are real — outside it the map is
         treated as -inf (see post).
+
+        On NMS top-k saturation or CC overflow the postprocess reruns with
+        4x the capacity (the probability map stays in HBM), so detections
+        are never silently dropped — same guarantee as ``nms()`` /
+        ``label_components()``.
         """
         padded = self.prepare(volume)
         tin = self._tin
@@ -243,12 +277,23 @@ class DetectPipeline:
         hi = jnp.asarray(
             valid_hi if valid_hi is not None else self.vol_shape, jnp.int32
         )
-        (locs, conf, valid), cc = self._post(
-            out, lo, hi, jnp.float32(self.threshold)
-        )
-
-        valid = np.asarray(valid)
-        n = int(valid.sum())
+        k_det, k_comp = self.max_detections, self.max_components
+        while True:
+            (locs, conf, valid), cc, n_inb = self._post_for(k_det, k_comp)(
+                out, lo, hi, jnp.float32(self.threshold)
+            )
+            valid = np.asarray(valid)
+            n = int(valid.sum())
+            n_inb = int(n_inb)
+            # saturation: every slot valid and more in-bounds voxels exist
+            # that could have been candidates
+            if n == k_det and k_det < n_inb:
+                k_det = min(k_det * 4, n_inb)
+                continue
+            if cc is not None and bool(np.asarray(cc[3]).any()):
+                k_comp *= 4
+                continue
+            break
         nms_det = Tbars(
             locs=np.asarray(locs)[:n].astype(np.float64),
             conf=np.asarray(conf)[:n],

@@ -15,19 +15,31 @@ Layout facts used:
 
 from __future__ import annotations
 
+import re
+
 import h5py
 import numpy as np
+
+
+def _natural_key(s: str):
+    """Sort key splitting digit runs so layer_10 > layer_2."""
+    return [
+        int(tok) if tok.isdigit() else tok
+        for tok in re.split(r"(\d+)", s)
+    ]
 
 
 def _collect_conv_weights(f: h5py.File) -> list[tuple[np.ndarray, np.ndarray]]:
     """(kernel, bias) pairs for every 5-D conv kernel, in file layer order."""
     root = f["model_weights"] if "model_weights" in f else f
     order = root.attrs.get("layer_names")
-    names = (
-        [n.decode() if isinstance(n, bytes) else n for n in order]
-        if order is not None
-        else list(root.keys())
-    )
+    if order is not None:
+        names = [n.decode() if isinstance(n, bytes) else n for n in order]
+    else:
+        # natural sort: "layer_10" must come after "layer_2" (h5py key
+        # order is alphabetical, which would silently permute layers for
+        # nets with >= 10 same-shape convs)
+        names = sorted(root.keys(), key=_natural_key)
     out = []
     for name in names:
         grp = root[name]

@@ -106,8 +106,15 @@ def nms(
     transfer), then top-k extracts with k = the next power of two — large
     static k makes ``lax.top_k`` pathologically slow to compile, and the
     power-of-2 bucketing bounds recompiles.
+
+    With the default ``max_detections=None`` the extraction auto-grows on
+    saturation so no candidate is ever dropped.  An explicit
+    ``max_detections`` is an actual cap (it bounds device memory): the
+    top-``max_detections`` candidates are returned with a warning if more
+    existed.
     """
     prob = jnp.asarray(prob).astype(jnp.float32)
+    explicit_cap = max_detections is not None
     if max_detections is None:
         n_cand = int(
             _count_candidates(prob, to3d(window), float(threshold))
@@ -115,15 +122,29 @@ def nms(
         if n_cand == 0:
             return Tbars(locs=np.zeros((0, 3)), conf=np.zeros((0,)))
         max_detections = max(64, 1 << (n_cand - 1).bit_length())
-    locs, conf, valid = nms_device(
-        prob, window=window, threshold=float(threshold),
-        max_detections=max_detections,
-    )
-    valid = np.asarray(valid)
-    n = int(valid.sum())
-    if n == len(valid) and n < prob.size:
+    while True:
+        locs, conf, valid = nms_device(
+            prob, window=window, threshold=float(threshold),
+            max_detections=max_detections,
+        )
+        valid = np.asarray(valid)
+        n = int(valid.sum())
+        if n < len(valid) or n == prob.size:
+            break
+        if explicit_cap:
+            # the user-passed cap truly bounds result size/device memory;
+            # report the truncation instead of silently growing past it
+            import warnings
+
+            warnings.warn(
+                f"nms: more than max_detections={max_detections} candidates;"
+                " returning the top ones (pass max_detections=None to"
+                " auto-grow)",
+                stacklevel=2,
+            )
+            break
         # saturated: grow and retry so no candidate is silently dropped
-        return nms(prob, window, threshold, max_detections * 4)
+        max_detections *= 4
     return Tbars(
         locs=np.asarray(locs)[:n].astype(np.float64), conf=np.asarray(conf)[:n]
     )

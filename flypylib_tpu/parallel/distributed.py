@@ -35,20 +35,33 @@ def ensure_initialized(
     global _initialized
     if _initialized:
         return True
+    # Cloud TPU pods set worker-topology env vars instead of the generic
+    # coordinator ones; jax.distributed.initialize() auto-detects them with
+    # no args.  TPU_WORKER_HOSTNAMES with >1 entry or a megascale
+    # coordinator means this process is one host of a multi-host slice.
+    tpu_hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    cloud_multi = (
+        len([h for h in tpu_hosts.split(",") if h.strip()]) > 1
+        or bool(os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+    )
     multi = (
         coordinator_address is not None
         or num_processes is not None
         or process_id is not None
         or os.environ.get("COORDINATOR_ADDRESS")
         or int(os.environ.get("JAX_NUM_PROCESSES", "1")) > 1
+        or cloud_multi
     )
     if not multi:
         return False
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    if cloud_multi and coordinator_address is None and num_processes is None:
+        jax.distributed.initialize()  # full auto-detection on Cloud TPU
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
     _initialized = True
     logger.info(
         "jax.distributed initialized: process %d/%d, %d devices",

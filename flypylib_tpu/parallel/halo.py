@@ -208,9 +208,10 @@ def sharded_nms(
     locs, conf, valid = jax.jit(fn)(prob)
     locs, conf, valid = (np.asarray(locs), np.asarray(conf), np.asarray(valid))
     if max_per_shard < s * vy * vx and valid.reshape(n, -1).all(axis=1).any():
-        raise RuntimeError(
-            f"sharded_nms: a shard saturated max_per_shard={max_per_shard}; "
-            "raise max_per_shard"
+        # a shard saturated its top-k: grow and retry so no candidate is
+        # silently dropped (same self-healing as ops.nms.nms)
+        return sharded_nms(
+            prob[:vz], mesh, axis, window, threshold, max_per_shard * 4
         )
     keep = valid & (locs[:, 0] < vz)
     return sort_detections(locs[keep].astype(np.float64), conf[keep])

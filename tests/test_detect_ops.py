@@ -81,9 +81,14 @@ def test_nms_window_shapes(rng, window):
 def test_nms_overflow_grows():
     vol = np.zeros((8, 8, 8), dtype=np.float32)
     vol[::2, ::2, ::2] = 0.9  # 64 isolated maxima
-    dev = nms(vol, window=2, threshold=0.5, max_detections=8)
     host = nms_host(vol, window=2, threshold=0.5)
+    # default (no cap): auto-grows past saturation, complete list
+    dev = nms(vol, window=2, threshold=0.5)
     assert_same_detections(host, dev)
+    # explicit cap: truly bounds the result (top-k) and warns
+    with pytest.warns(UserWarning, match="max_detections"):
+        capped = nms(vol, window=2, threshold=0.5, max_detections=8)
+    assert len(capped) == 8
 
 
 def test_components_simple_blobs(blob_volume):
