@@ -1,22 +1,33 @@
 """Out-of-core whole-volume detection (HDF5 / any chunk-readable source).
 
 For volumes too large for host RAM or HBM, detection runs ROI-by-ROI with
-*exact* whole-volume NMS semantics: each core ROI is fetched with a halo of
-``context + window//2`` true neighbor voxels (so every probability value a
-core voxel's NMS window touches is computed from real data, never from ROI
-padding), out-of-volume parts are reflect-filled in ONE pad (matching a
-monolithic run's face padding), and candidates are kept only by core
-ownership — a detection at a seam is reported exactly once, with exactly
-the monolithic decision.  Pinned by tests/test_large.py: chunked == full
-volume, bit-for-bit.
+*exact* whole-volume semantics:
 
-CC across ROI seams is not merged here (components spanning a seam would
-need a cross-ROI merge); use the in-RAM pipeline or sharded path when
-component analysis must span the full volume.
+- **NMS**: each core ROI is fetched with a halo of ``context + window//2``
+  true neighbor voxels (so every probability value a core voxel's NMS
+  window touches is computed from real data, never from ROI padding),
+  out-of-volume parts are reflect-filled in ONE pad (matching a monolithic
+  run's face padding), and candidates are kept only by core ownership — a
+  detection at a seam is reported exactly once, with exactly the
+  monolithic decision.  Pinned by tests/test_large.py: chunked == full
+  volume, bit-for-bit.
+- **Connected components** (``method="components"``): each core ROI labels
+  its own (disjoint) core box on device and exports, besides its
+  compacted component stats, the converged label ids of its six boundary
+  faces.  A host union-find then merges components whose boundary voxels
+  are 6-adjacent across ROI seams (same trick as
+  flypylib_tpu.parallel.halo.sharded_components, extended to a 3-D ROI
+  grid), so centroids/confidences equal a monolithic
+  ``scipy.ndimage.label`` run exactly.  Pinned by tests/test_large.py on
+  non-divisible cores.
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from flypylib_tpu.infer.pipeline import DetectPipeline
@@ -53,6 +64,27 @@ def array_reader(vol: np.ndarray):
     return vol.shape, read
 
 
+class _SeamUnionFind:
+    """Union-find over (roi_index, slot) nodes for cross-ROI CC merging."""
+
+    def __init__(self):
+        self.parent: dict = {}
+
+    def find(self, a):
+        p = self.parent
+        root = a
+        while p.setdefault(root, root) != root:
+            root = p[root]
+        while p[a] != root:  # path compression
+            p[a], a = root, p[a]
+        return root
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[rb] = ra
+
+
 def detect_streaming(
     spec: ModelSpec,
     variables,
@@ -63,16 +95,27 @@ def detect_streaming(
     window=5,
     threshold: float = 0.5,
     max_detections_per_roi: int = 4096,
+    max_components_per_roi: int = 4096,
+    method: str = "nms",
     progress=None,
-) -> Tbars:
-    """Exact streaming NMS detection over an arbitrarily large volume.
+):
+    """Exact streaming detection over an arbitrarily large volume.
 
     ``shape``/``read_fn`` typically come from :func:`h5_reader`.
+    ``method`` is ``"nms"`` (local-maximum candidates), ``"components"``
+    (seam-merged connected-component centroids), or ``"both"`` (returns a
+    ``(nms, components)`` tuple).
     """
+    if method not in ("nms", "components", "both"):
+        raise ValueError(f"unknown method {method!r}")
+    want_nms = method in ("nms", "both")
+    want_cc = method in ("components", "both")
+
     shape = to3d(shape)
     win = to3d(window)
     ctx = spec.context
-    h = ctx + max(win) // 2  # true-data halo for exact seam NMS
+    h = ctx + (max(win) // 2 if want_nms else 0)
+    h = max(h, ctx)  # CC needs at least the conv context halo
     fetch_halo = h + ctx  # plus the conv context for the halo's own probs
 
     core_dims = [min(core, s) for s in shape]
@@ -90,10 +133,48 @@ def detect_streaming(
         run_cc=False, pre_padded=True,
     )
 
+    cz, cy, cx = core_dims
+    core_nvox = cz * cy * cx
+    vz, vy, vx = pipe.vol_shape
+
+    @functools.lru_cache(maxsize=8)
+    def cc_fn(K: int):
+        from flypylib_tpu.ops.components import cc_label_and_extract
+
+        @jax.jit
+        def f(out, vlo, vhi, thr):
+            prob = out[:vz, :vy, :vx]
+            zz = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 0)
+            yy = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 1)
+            xx = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 2)
+            inb = (
+                (zz >= vlo[0]) & (zz < vhi[0])
+                & (yy >= vlo[1]) & (yy < vhi[1])
+                & (xx >= vlo[2]) & (xx < vhi[2])
+            )
+            prob = jnp.where(inb, prob, -jnp.inf)
+            corep = jax.lax.slice(
+                prob, (h, h, h), (h + cz, h + cy, h + cx)
+            )
+            uniq, sums, count, conf, valid, over, lab = (
+                cc_label_and_extract(corep, thr, K)
+            )
+            faces = (
+                lab[0], lab[cz - 1],
+                lab[:, 0], lab[:, cy - 1],
+                lab[:, :, 0], lab[:, :, cx - 1],
+            )
+            return uniq, sums, count, conf, valid, over, faces
+
+        return f
+
     all_locs, all_conf = [], []
-    for z0 in starts[0]:
-        for y0 in starts[1]:
-            for x0 in starts[2]:
+    cc_rois: dict[tuple, dict] = {}
+    K = max_components_per_roi
+
+    for iz, z0 in enumerate(starts[0]):
+        for iy, y0 in enumerate(starts[1]):
+            for ix, x0 in enumerate(starts[2]):
                 corner = (z0, y0, x0)
                 lo_want = [c - fetch_halo for c in corner]
                 hi_want = [
@@ -110,43 +191,119 @@ def detect_streaming(
                 ]
                 block = np.pad(block, pads, mode="reflect")
                 # prob-region coords of the true-volume box: voxels outside
-                # are masked to -inf inside the pipeline (monolithic
-                # boundary semantics)
+                # are masked to -inf (monolithic boundary semantics)
                 region0 = [v + ctx for v in lo_want]
                 vlo = [max(0, -r0) for r0 in region0]
                 vhi = [
                     min(cd + 2 * h, s - r0)
                     for cd, s, r0 in zip(core_dims, shape, region0)
                 ]
-                # DetectPipeline grows its top-k and retries on saturation,
-                # so the per-ROI detection list is always complete
-                nms_det, _ = pipe(block, valid_lo=vlo, valid_hi=vhi)
-                # local coords are relative to lo_want; h of that is the
-                # conv context consumed by pre_padded, so prob index 0 is
-                # at global lo_want + ctx
-                glob = nms_det.locs + np.asarray(
-                    [v + ctx for v in lo_want], np.float64
-                )
-                own = np.all(
-                    (glob >= np.asarray(corner))
-                    & (
-                        glob
-                        < np.minimum(
-                            np.asarray(corner) + core_dims, np.asarray(shape)
+                out = pipe.forward(block)
+                n_own = 0
+                if want_nms:
+                    # DetectPipeline grows its top-k and retries on
+                    # saturation, so the per-ROI list is always complete
+                    nms_det, _ = pipe.postprocess(out, vlo, vhi)
+                    # local coords are relative to lo_want; prob index 0
+                    # is at global lo_want + ctx
+                    glob = nms_det.locs + np.asarray(
+                        [v + ctx for v in lo_want], np.float64
+                    )
+                    own = np.all(
+                        (glob >= np.asarray(corner))
+                        & (
+                            glob
+                            < np.minimum(
+                                np.asarray(corner) + core_dims,
+                                np.asarray(shape),
+                            )
+                        ),
+                        axis=1,
+                    )
+                    all_locs.append(glob[own])
+                    all_conf.append(nms_det.conf[own])
+                    n_own = int(own.sum())
+                if want_cc:
+                    lo_j = jnp.asarray(vlo, jnp.int32)
+                    hi_j = jnp.asarray(vhi, jnp.int32)
+                    while True:
+                        uniq, sums, count, conf, valid, over, faces = (
+                            cc_fn(K)(out, lo_j, hi_j,
+                                     jnp.float32(threshold))
                         )
-                    ),
-                    axis=1,
-                )
-                all_locs.append(glob[own])
-                all_conf.append(nms_det.conf[own])
+                        if not bool(over):
+                            break
+                        K *= 4  # grow-and-retry; later ROIs reuse the size
+                    sums = np.asarray(sums, np.float64)
+                    count = np.asarray(count, np.float64)
+                    # globalize coordinate sums by the core's corner
+                    sums += np.asarray(corner, np.float64) * count[:, None]
+                    cc_rois[(iz, iy, ix)] = {
+                        "uniq": np.asarray(uniq),
+                        "sums": sums,
+                        "count": count,
+                        "conf": np.asarray(conf),
+                        "valid": np.asarray(valid),
+                        "faces": [np.asarray(f) for f in faces],
+                    }
                 if progress:
-                    progress(corner, int(own.sum()))
+                    progress(corner, n_own)
 
-    if not all_locs:
+    results = []
+    if want_nms:
+        if all_locs:
+            results.append(sort_detections(
+                np.concatenate(all_locs), np.concatenate(all_conf)
+            ))
+        else:
+            results.append(Tbars(locs=np.zeros((0, 3)), conf=np.zeros((0,))))
+    if want_cc:
+        results.append(_merge_cc(cc_rois, core_nvox))
+    if method == "both":
+        return tuple(results)
+    return results[0]
+
+
+def _merge_cc(cc_rois: dict, sentinel: int) -> Tbars:
+    """Union components across ROI seams and reduce to centroids."""
+    uf = _SeamUnionFind()
+
+    def slots(key, face_vals):
+        """face label values -> compact slot indices in that ROI."""
+        uniq = cc_rois[key]["uniq"]
+        return np.searchsorted(uniq, face_vals)
+
+    # face index pairs: (axis, this-ROI hi face, neighbor lo face)
+    face_pairs = [(0, 1, 0), (1, 3, 2), (2, 5, 4)]
+    for (iz, iy, ix), data in cc_rois.items():
+        for axis, hi_f, lo_f in face_pairs:
+            nb = (iz + (axis == 0), iy + (axis == 1), ix + (axis == 2))
+            if nb not in cc_rois:
+                continue
+            a = data["faces"][hi_f]
+            b = cc_rois[nb]["faces"][lo_f]
+            pair = (a < sentinel) & (b < sentinel)
+            if not pair.any():
+                continue
+            ka = slots((iz, iy, ix), a[pair])
+            kb = slots(nb, b[pair])
+            for sa, sb in set(zip(ka.tolist(), kb.tolist())):
+                uf.union(((iz, iy, ix), sa), (nb, sb))
+
+    roots: dict = {}
+    for key, data in cc_rois.items():
+        for slot in np.nonzero(data["valid"])[0]:
+            r = uf.find((key, int(slot)))
+            acc = roots.setdefault(r, [0.0, np.zeros(3), -np.inf])
+            acc[0] += data["count"][slot]
+            acc[1] = acc[1] + data["sums"][slot]
+            acc[2] = max(acc[2], float(data["conf"][slot]))
+
+    if not roots:
         return Tbars(locs=np.zeros((0, 3)), conf=np.zeros((0,)))
-    return sort_detections(
-        np.concatenate(all_locs), np.concatenate(all_conf)
-    )
+    locs = np.stack([v[1] / v[0] for v in roots.values()])
+    confs = np.asarray([v[2] for v in roots.values()])
+    return sort_detections(locs, confs)
 
 
 def detect_h5(

@@ -247,18 +247,9 @@ class DetectPipeline:
             self._posts[key] = self._make_post(k_det, k_comp)
         return self._posts[key]
 
-    def __call__(self, volume: np.ndarray, valid_lo=None, valid_hi=None):
-        """volume -> (nms Tbars, cc Tbars | None).
-
-        ``valid_lo``/``valid_hi`` optionally bound the region (in
-        prob-volume coords) whose voxels are real — outside it the map is
-        treated as -inf (see post).
-
-        On NMS top-k saturation or CC overflow the postprocess reruns with
-        4x the capacity (the probability map stays in HBM), so detections
-        are never silently dropped — same guarantee as ``nms()`` /
-        ``label_components()``.
-        """
+    def forward(self, volume: np.ndarray) -> jax.Array:
+        """volume -> device-resident prob map of shape ``_out_shape``
+        (valid region is ``[:vz, :vy, :vx]``); uploads overlap compute."""
         padded = self.prepare(volume)
         tin = self._tin
         # queue every slab upload up front: transfers run back-to-back on
@@ -271,6 +262,10 @@ class DetectPipeline:
             out = self._fwd_slab(
                 self.variables, slab, local, out, jnp.int32(zs)
             )
+        return out
+
+    def postprocess(self, out: jax.Array, valid_lo=None, valid_hi=None):
+        """Device prob map (from :meth:`forward`) -> detection lists."""
         lo = jnp.asarray(
             valid_lo if valid_lo is not None else (0, 0, 0), jnp.int32
         )
@@ -306,3 +301,17 @@ class DetectPipeline:
                 np.asarray(cents)[cvalid], np.asarray(cconf)[cvalid]
             )
         return nms_det, cc_det
+
+    def __call__(self, volume: np.ndarray, valid_lo=None, valid_hi=None):
+        """volume -> (nms Tbars, cc Tbars | None).
+
+        ``valid_lo``/``valid_hi`` optionally bound the region (in
+        prob-volume coords) whose voxels are real — outside it the map is
+        treated as -inf (see post).
+
+        On NMS top-k saturation or CC overflow the postprocess reruns with
+        4x the capacity (the probability map stays in HBM), so detections
+        are never silently dropped — same guarantee as ``nms()`` /
+        ``label_components()``.
+        """
+        return self.postprocess(self.forward(volume), valid_lo, valid_hi)

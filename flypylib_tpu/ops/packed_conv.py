@@ -1,0 +1,287 @@
+"""Space-to-depth packed inference engine for ConvStack models.
+
+Round-2 perf headline (BENCH_NOTES.md "Why not 100 Mvox/s"): XLA's 3D conv
+on TPU is MXU-bound by channel width — measured on this chip
+(experiments/conv_sweep.jsonl): 8.6–18.6 TFLOP/s at the baseline stack's
+24–64 channels vs 100–129 TFLOP/s at >=128 channels.  The fix is a
+graph-level layout rewrite, not a hand kernel:
+
+- **Dilation-1 layers — space-to-depth channel packing.**  The volume is
+  packed 2x2x2 -> 8 channels; a valid 3^3 conv becomes a valid 2^3 conv
+  with 8x the channels (the 2^3 x 8 = 64-slot packed kernel embeds the 27
+  taps, 2.37x redundant FLOPs) — but it runs ~48-75 TFLOP/s, a >2x net
+  win, because 8x channels fill the 128-wide MXU lanes.
+- **Dilation-2^k layers — parity-lattice batching.**  A dilation-d conv
+  only connects voxels of equal coordinates mod d.  On the packed tensor
+  the 8 parity channel groups ARE the d=2 sub-lattices, so a dilation-2
+  layer is exactly a batch of 8 dilation-1 convs on half-resolution
+  lattices (measured ~2x over the direct dilated conv); dilation-4 splits
+  parities once more (batch 64), etc.
+
+All rewrites are exact re-associations of the same multiply-adds (packed
+kernels embed the original taps; extra slots are zeros), so outputs match
+``ConvStack.apply`` to bf16-accumulation tolerance; tests pin this
+(tests/test_packed_conv.py).  Because packing is phase-dependent, a packed
+model's ``size_multiple`` is 2^(1+extra splits) and tile starts must align
+to it — ``packed_spec`` probes the exact geometry numerically and exports
+a drop-in :class:`~flypylib_tpu.models.zoo.ModelSpec`, so TiledInference /
+DetectPipeline / sharded_infer work unchanged (and stay bitwise
+self-consistent tiled vs monolithic).
+
+Training still uses the plain Flax module (patch convs are tiny; the
+packed path is inference-only and delegates ``train=True`` to the inner
+module, keeping one params tree for checkpoints and Keras import).
+"""
+
+from __future__ import annotations
+
+import functools
+from itertools import product
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from flypylib_tpu.models.zoo import ConvStack, ModelSpec, _probe_geometry
+
+_PARITY = list(product(range(2), repeat=3))  # (pz, py, px), px fastest
+
+
+def pack_volume(x: jax.Array) -> jax.Array:
+    """(B, D, H, W, C) -> (B, D/2, H/2, W/2, 8C); dims must be even.
+
+    Packed channel index = ((pz*2 + py)*2 + px)*C + c, i.e. cell (r) /
+    parity (p) encode original position 2r + p per axis.
+    """
+    b, d, h, w, c = x.shape
+    if d % 2 or h % 2 or w % 2:
+        raise ValueError(f"pack_volume needs even spatial dims, got {x.shape}")
+    x = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(b, d // 2, h // 2, w // 2, 8 * c)
+
+
+def unpack_volume(x: jax.Array) -> jax.Array:
+    """Inverse of :func:`pack_volume`."""
+    b, d, h, w, c8 = x.shape
+    c = c8 // 8
+    x = x.reshape(b, d, h, w, 2, 2, 2, c)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(b, 2 * d, 2 * h, 2 * w, c)
+
+
+@functools.lru_cache(maxsize=4)
+def _tap_matrix() -> np.ndarray:
+    """A[t, u, s, k] = 1 iff 2t + u - s == k (per-axis packed-tap map)."""
+    a = np.zeros((2, 2, 2, 3), np.float32)
+    for t, u, s in product(range(2), repeat=3):
+        k = 2 * t + u - s
+        if 0 <= k <= 2:
+            a[t, u, s, k] = 1.0
+    return a
+
+
+def pack_weight_d1(w: jax.Array) -> jax.Array:
+    """(3,3,3,Ci,Co) valid-conv kernel -> (2,2,2,8Ci,8Co) packed kernel.
+
+    Derivation: y[2r+s] = sum_delta w[delta] x[2r+s+delta]; writing
+    s+delta = 2t+u gives the packed tap (t) / input-parity (u) /
+    output-parity (s) map encoded by :func:`_tap_matrix`.  Slots with no
+    corresponding original tap are zero (the 2.37x FLOP redundancy).
+    """
+    kz, ky, kx, ci, co = w.shape
+    assert (kz, ky, kx) == (3, 3, 3)
+    a = jnp.asarray(_tap_matrix(), w.dtype)
+    # out[tz,ty,tx, uz,uy,ux, ci, sz,sy,sx, co]
+    wp = jnp.einsum(
+        "adgz,behy,cfix,zyxmo->abcdefmghio",
+        a, a, a, w,
+    )
+    return wp.reshape(2, 2, 2, 8 * ci, 8 * co)
+
+
+def parity_split(x: jax.Array) -> jax.Array:
+    """(B, D, H, W, C) -> (8B, D/2, H/2, W/2, C): batch the 8 parity
+    sub-lattices (new batch = b*8 + ((pz*2+py)*2+px)); dims must be even."""
+    b, d, h, w, c = x.shape
+    if d % 2 or h % 2 or w % 2:
+        raise ValueError(
+            f"parity_split needs even spatial dims, got {x.shape}"
+        )
+    x = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)
+    return x.reshape(b * 8, d // 2, h // 2, w // 2, c)
+
+
+def parity_merge(x: jax.Array) -> jax.Array:
+    """Inverse of :func:`parity_split`."""
+    b8, d, h, w, c = x.shape
+    b = b8 // 8
+    x = x.reshape(b, 2, 2, 2, d, h, w, c)
+    x = x.transpose(0, 4, 1, 5, 2, 6, 3, 7)
+    return x.reshape(b, 2 * d, 2 * h, 2 * w, c)
+
+
+def _conv(x, w, dims=("NDHWC", "DHWIO", "NDHWC")):
+    return lax.conv_general_dilated(
+        x, w, (1, 1, 1), "VALID", dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+
+
+class PackedConvStack:
+    """Duck-typed inference module running a ConvStack in packed layout.
+
+    Drop-in for ``ModelSpec.module``: exposes ``init`` (delegates to the
+    inner Flax module — ONE params tree for both paths) and ``apply``
+    (packed fast path for ``train=False``, inner module for training).
+    """
+
+    def __init__(self, inner: ConvStack):
+        if inner.kernel != 3:
+            raise ValueError("packed path supports kernel=3 only")
+        dils = [int(d) for d in inner.dilations]
+        for i, d in enumerate(dils):
+            if d & (d - 1):
+                raise ValueError(f"dilation {d} is not a power of two")
+            if i and d < dils[i - 1]:
+                raise ValueError(
+                    f"dilation schedule {dils} must be non-decreasing"
+                )
+        self.inner = inner
+        self.dilations = dils
+        self.n_lead = next(
+            (i for i, d in enumerate(dils) if d > 1), len(dils)
+        )
+        self.dtype = inner.dtype
+
+    # --- ModelSpec protocol -------------------------------------------
+    def init(self, key, x, train: bool = False):
+        return self.inner.init(key, x, train=train)
+
+    def apply(self, variables, x, train: bool = False, rngs=None, **kw):
+        if train or kw.get("mutable"):
+            return self.inner.apply(
+                variables, x, train=train, rngs=rngs, **kw
+            )
+        return self._forward(variables, x)
+
+    # --- packed forward ------------------------------------------------
+    def _affine(self, variables, idx):
+        """Inference-mode BatchNorm as a per-channel (scale, shift)."""
+        p = variables["params"][f"BatchNorm_{idx}"]
+        s = variables["batch_stats"][f"BatchNorm_{idx}"]
+        inv = lax.rsqrt(s["var"].astype(jnp.float32) + 1e-5)
+        scale = p["scale"].astype(jnp.float32) * inv
+        shift = (
+            p["bias"].astype(jnp.float32)
+            - s["mean"].astype(jnp.float32) * scale
+        )
+        return scale, shift
+
+    def _forward(self, variables, x):
+        inner = self.inner
+        params = variables["params"]
+        dt = self.dtype
+        n_body = len(inner.features)
+        x = x.astype(dt)
+
+        def body_epilogue(y, i, tile):
+            """bias (+ BatchNorm) + ReLU, channel params tiled for the
+            current packing factor."""
+            b = params[f"Conv_{i}"]["bias"].astype(jnp.float32)
+            b = jnp.tile(b, tile)
+            y = y + b
+            if inner.use_batchnorm:
+                scale, shift = self._affine(variables, i)
+                y = y * jnp.tile(scale, tile) + jnp.tile(shift, tile)
+            return jax.nn.relu(y).astype(dt)
+
+        # stage A: leading dilation-1 layers in space-to-depth packing
+        i = 0
+        if self.n_lead:
+            x = pack_volume(x)
+            for i in range(self.n_lead):
+                w = params[f"Conv_{i}"]["kernel"].astype(dt)
+                x = _conv(x, pack_weight_d1(w))
+                x = body_epilogue(x, i, 8)
+            # packed channels (parity-major) -> parity-batched lattices
+            b0, d, h, w_, c8 = x.shape
+            c = c8 // 8
+            x = x.reshape(b0, d, h, w_, 8, c)
+            x = x.transpose(0, 4, 1, 2, 3, 5).reshape(b0 * 8, d, h, w_, c)
+            level = 1
+        else:
+            level = 0
+
+        # stage B: dilated layers as dilation-1 convs on parity lattices
+        for i in range(self.n_lead, n_body):
+            d = self.dilations[i]
+            while (1 << level) < d:
+                x = parity_split(x)
+                level += 1
+            if (1 << level) != d:
+                raise ValueError(
+                    f"dilation {d} below current lattice step {1 << level}"
+                )
+            w = params[f"Conv_{i}"]["kernel"].astype(dt)
+            x = _conv(x, w)
+            x = body_epilogue(x, i, 1)
+
+        # head 1x1x1 conv + relu (pointwise: parity-independent)
+        w = params[f"Conv_{n_body}"]["kernel"].astype(dt)
+        b = params[f"Conv_{n_body}"]["bias"].astype(dt)
+        x = _conv(x, w).astype(dt) + b
+        x = jax.nn.relu(x)
+
+        # logits conv in f32 (matches ConvStack's dtype=float32 head)
+        w = params[f"Conv_{n_body + 1}"]["kernel"].astype(jnp.float32)
+        b = params[f"Conv_{n_body + 1}"]["bias"].astype(jnp.float32)
+        x = _conv(x.astype(jnp.float32), w) + b
+
+        # merge parity lattices back to full resolution
+        for _ in range(level):
+            x = parity_merge(x)
+        return x
+
+    def __repr__(self):
+        return f"PackedConvStack({self.inner!r})"
+
+
+@functools.lru_cache(maxsize=16)
+def _packed_geometry(module: ConvStack):
+    pm = PackedConvStack(module)
+    return _probe_geometry(pm, lo=8, hi=140)
+
+
+def packed_spec(spec: ModelSpec) -> ModelSpec | None:
+    """A ModelSpec running ``spec`` through the packed inference engine.
+
+    Returns ``None`` when the model is not a supported ConvStack (U-Nets
+    and exotic dilation schedules fall back to the plain path).  The
+    returned spec shares the inner module's params tree; its
+    ``size_multiple``/``size_offset`` encode the packing alignment so the
+    tile planner keeps tiled == monolithic bitwise.
+    """
+    module = spec.module
+    if not isinstance(module, ConvStack):
+        return None
+    try:
+        pm = PackedConvStack(module)
+        ctx, mult, off, min_size = _packed_geometry(module)
+    except (ValueError, TypeError):
+        return None
+    if ctx != spec.context:
+        raise AssertionError(
+            f"packed geometry context {ctx} != model context {spec.context}"
+        )
+    return ModelSpec(
+        name=spec.name + "+packed",
+        module=pm,
+        context=ctx,
+        size_multiple=mult,
+        size_offset=off,
+        min_size=min_size,
+        metadata={**spec.metadata, "packed": True},
+    )

@@ -1,0 +1,192 @@
+"""Packed (space-to-depth) inference engine == plain ConvStack.
+
+Pins the round-2 perf path (ops/packed_conv.py): the packed rewrite is an
+exact re-association of the same multiply-adds, so outputs must match the
+Flax ConvStack to accumulation tolerance, the packing round-trips must be
+exact, and the packed spec must stay bitwise self-consistent tiled vs
+monolithic (the engine invariant that makes it a drop-in ModelSpec).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flypylib_tpu.models.zoo import ConvStack, baseline_model, unet, vgg_like
+from flypylib_tpu.ops.packed_conv import (
+    PackedConvStack,
+    pack_volume,
+    pack_weight_d1,
+    packed_spec,
+    parity_merge,
+    parity_split,
+    unpack_volume,
+)
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(7)
+
+
+def test_pack_unpack_roundtrip(rng):
+    x = jnp.asarray(rng.normal(size=(2, 8, 6, 4, 3)).astype(np.float32))
+    assert jnp.array_equal(unpack_volume(pack_volume(x)), x)
+    assert jnp.array_equal(parity_merge(parity_split(x)), x)
+
+
+def test_pack_volume_layout(rng):
+    """Packed channel ((pz*2+py)*2+px)*C + c holds original [2r+p]."""
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 4, 2)).astype(np.float32))
+    p = pack_volume(x)
+    assert p.shape == (1, 2, 2, 2, 16)
+    for pz in range(2):
+        for py in range(2):
+            for px in range(2):
+                ch = ((pz * 2 + py) * 2 + px) * 2
+                np.testing.assert_array_equal(
+                    p[0, 1, 0, 1, ch : ch + 2],
+                    x[0, 2 + pz, py, 2 + px],
+                )
+
+
+def test_packed_weight_conv_equivalence(rng):
+    """One packed 2^3 conv == one valid 3^3 conv (f32, exact-ish)."""
+    from jax import lax
+
+    ci, co = 3, 5
+    x = jnp.asarray(rng.normal(size=(1, 10, 8, 6, ci)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, ci, co)).astype(np.float32))
+    ref = lax.conv_general_dilated(
+        x, w, (1, 1, 1), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    got = lax.conv_general_dilated(
+        pack_volume(x), pack_weight_d1(w), (1, 1, 1), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    got = unpack_volume(got)
+    # packed output covers 2*(n_cells-1) == n-2 positions per dim
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "make",
+    [
+        lambda: baseline_model(dtype=jnp.float32),
+        lambda: baseline_model(
+            features=(6, 8), dilations=(1, 2), head_features=12,
+            dtype=jnp.float32,
+        ),
+        lambda: vgg_like(
+            features=(4, 6, 6, 8), dilations=(1, 1, 2, 4), head_features=8,
+            dtype=jnp.float32,
+        ),
+    ],
+    ids=["baseline", "mixed_d1_d2", "vgg_d124"],
+)
+def test_packed_apply_matches_convstack(rng, make):
+    spec = make()
+    pspec = packed_spec(spec)
+    assert pspec is not None
+    assert pspec.context == spec.context
+    s = pspec.valid_size(spec.min_size + 7)
+    variables = spec.init(jax.random.PRNGKey(0), s)
+    x = jnp.asarray(rng.normal(size=(1, s, s, s, 1)).astype(np.float32))
+    ref = spec.apply(variables, x, train=False)
+    got = pspec.apply(variables, x, train=False)
+    assert got.shape == ref.shape
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_packed_batchnorm_matches(rng):
+    spec_module = ConvStack(
+        features=(6, 8), dilations=(1, 2), head_features=8,
+        dtype=jnp.float32, use_batchnorm=True,
+    )
+    from flypylib_tpu.models.zoo import ModelSpec
+
+    spec = ModelSpec(name="bn", module=spec_module, context=3, min_size=7)
+    pm = PackedConvStack(spec_module)
+    s = 16
+    variables = spec_module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, s, s, s, 1)), train=False
+    )
+    # nonzero running stats so the affine actually does something
+    variables = jax.tree.map(
+        lambda v: v + 0.3 * jnp.arange(v.size, dtype=v.dtype).reshape(v.shape)
+        / max(v.size, 1),
+        variables,
+    )
+    x = jnp.asarray(rng.normal(size=(1, s, s, s, 1)).astype(np.float32))
+    ref = spec_module.apply(variables, x, train=False)
+    got = pm.apply(variables, x, train=False)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_packed_spec_geometry_and_tiling(rng):
+    """Tiled packed inference == monolithic packed inference, bitwise."""
+    from flypylib_tpu.infer.tiled import TiledInference
+
+    spec = baseline_model(
+        features=(4, 6), dilations=(1, 2), head_features=8,
+        dtype=jnp.float32,
+    )
+    pspec = packed_spec(spec)
+    assert pspec.size_multiple >= 2
+    variables = spec.init(jax.random.PRNGKey(1), pspec.min_size)
+    vol = rng.random((30, 26, 22)).astype(np.float32)
+
+    mono = TiledInference(pspec, variables, tile_out=64).infer(vol)
+    tiled = TiledInference(pspec, variables, tile_out=12).infer(vol)
+    np.testing.assert_array_equal(mono, tiled)
+
+    # and the packed map matches the plain map to tolerance
+    plain = TiledInference(spec, variables, tile_out=64).infer(vol)
+    np.testing.assert_allclose(mono, plain, rtol=2e-4, atol=2e-4)
+
+
+def test_packed_pipeline_detections(rng):
+    """DetectPipeline on a packed spec: postprocess stays exact on the
+    packed map (pinned against the scipy host reference)."""
+    from flypylib_tpu.infer.pipeline import DetectPipeline
+    from flypylib_tpu.infer.tiled import TiledInference
+    from flypylib_tpu.ops.host_reference import nms_host
+
+    spec = baseline_model(
+        features=(4, 6), dilations=(1, 2), head_features=8,
+        dtype=jnp.float32,
+    )
+    pspec = packed_spec(spec)
+    variables = spec.init(jax.random.PRNGKey(2), pspec.min_size)
+    vol = rng.random((28, 24, 24)).astype(np.float32)
+
+    prob = TiledInference(pspec, variables, tile_out=64).infer(vol)
+    thr = float(np.quantile(prob, 0.98))
+    pipe = DetectPipeline(
+        spec=pspec, variables=variables, vol_shape=vol.shape,
+        tile_out=64, window=3, threshold=thr, run_cc=False,
+    )
+    det, _ = pipe(vol)
+    host = nms_host(prob, window=3, threshold=thr)
+    np.testing.assert_array_equal(det.locs, host.locs)
+    np.testing.assert_allclose(det.conf, host.conf, rtol=1e-6)
+
+
+def test_packed_spec_rejects_unet():
+    assert packed_spec(unet(base_features=4, levels=1)) is None
+
+
+def test_packed_train_delegates(rng):
+    """train=True goes through the inner Flax module unchanged."""
+    spec = baseline_model(
+        features=(4,), dilations=(1,), head_features=4, dtype=jnp.float32
+    )
+    pspec = packed_spec(spec)
+    s = pspec.valid_size(spec.min_size + 5)
+    variables = spec.init(jax.random.PRNGKey(0), s)
+    x = jnp.asarray(rng.normal(size=(1, s, s, s, 1)).astype(np.float32))
+    ref = spec.apply(variables, x, train=True)
+    got = pspec.apply(variables, x, train=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
