@@ -21,26 +21,36 @@ def force(x):
     return float(jnp.sum(x))
 
 
-def time_fwd(spec, variables, size, iters=5, dtype=jnp.float32):
+def time_fwd(spec, variables, size, iters=10, dtype=jnp.float32):
+    """Device time per forward: `iters` forwards chained in ONE lax.scan
+    dispatch (the tunnel's per-dispatch overhead would otherwise swamp
+    ~20 ms kernels); a per-iteration input tweak defeats CSE."""
     s = spec.valid_size(size)
     x = jnp.asarray(
         np.random.default_rng(0).random((1, s, s, s, 1)).astype(np.float32)
     )
 
-    @jax.jit
-    def f(v, x):
-        return jax.nn.sigmoid(spec.module.apply(v, x, train=False))
+    import functools
 
-    out = f(variables, x)
-    force(out)
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def f_many(v, x, n):
+        def body(acc, i):
+            xi = x + (i.astype(jnp.float32) * 1e-7)
+            p = jax.nn.sigmoid(spec.module.apply(v, xi, train=False))
+            return acc + jnp.sum(p), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n))
+        return acc
+
+    force(f_many(variables, x, n=1))  # compile n=1
+    force(f_many(variables, x, n=iters))  # compile n=iters
     t0 = time.perf_counter()
-    force(out)  # already computed: this times just the sum+transfer
-    overhead = time.perf_counter() - t0
+    force(f_many(variables, x, n=1))
+    t_one = time.perf_counter() - t0
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = f(variables, x)
-    force(out)
-    dt = (time.perf_counter() - t0 - overhead) / iters
+    force(f_many(variables, x, n=iters))
+    t_n = time.perf_counter() - t0
+    dt = (t_n - t_one) / (iters - 1)  # removes dispatch + transfer cost
     n_out = (s - 2 * spec.context) ** 3
     return dt, n_out / dt / 1e6, s
 

@@ -64,27 +64,6 @@ def array_reader(vol: np.ndarray):
     return vol.shape, read
 
 
-class _SeamUnionFind:
-    """Union-find over (roi_index, slot) nodes for cross-ROI CC merging."""
-
-    def __init__(self):
-        self.parent: dict = {}
-
-    def find(self, a):
-        p = self.parent
-        root = a
-        while p.setdefault(root, root) != root:
-            root = p[root]
-        while p[a] != root:  # path compression
-            p[a], a = root, p[a]
-        return root
-
-    def union(self, a, b):
-        ra, rb = self.find(a), self.find(b)
-        if ra != rb:
-            self.parent[rb] = ra
-
-
 def detect_streaming(
     spec: ModelSpec,
     variables,
@@ -258,52 +237,12 @@ def detect_streaming(
         else:
             results.append(Tbars(locs=np.zeros((0, 3)), conf=np.zeros((0,))))
     if want_cc:
-        results.append(_merge_cc(cc_rois, core_nvox))
+        from flypylib_tpu.ops.components import merge_component_fragments
+
+        results.append(merge_component_fragments(cc_rois, core_nvox))
     if method == "both":
         return tuple(results)
     return results[0]
-
-
-def _merge_cc(cc_rois: dict, sentinel: int) -> Tbars:
-    """Union components across ROI seams and reduce to centroids."""
-    uf = _SeamUnionFind()
-
-    def slots(key, face_vals):
-        """face label values -> compact slot indices in that ROI."""
-        uniq = cc_rois[key]["uniq"]
-        return np.searchsorted(uniq, face_vals)
-
-    # face index pairs: (axis, this-ROI hi face, neighbor lo face)
-    face_pairs = [(0, 1, 0), (1, 3, 2), (2, 5, 4)]
-    for (iz, iy, ix), data in cc_rois.items():
-        for axis, hi_f, lo_f in face_pairs:
-            nb = (iz + (axis == 0), iy + (axis == 1), ix + (axis == 2))
-            if nb not in cc_rois:
-                continue
-            a = data["faces"][hi_f]
-            b = cc_rois[nb]["faces"][lo_f]
-            pair = (a < sentinel) & (b < sentinel)
-            if not pair.any():
-                continue
-            ka = slots((iz, iy, ix), a[pair])
-            kb = slots(nb, b[pair])
-            for sa, sb in set(zip(ka.tolist(), kb.tolist())):
-                uf.union(((iz, iy, ix), sa), (nb, sb))
-
-    roots: dict = {}
-    for key, data in cc_rois.items():
-        for slot in np.nonzero(data["valid"])[0]:
-            r = uf.find((key, int(slot)))
-            acc = roots.setdefault(r, [0.0, np.zeros(3), -np.inf])
-            acc[0] += data["count"][slot]
-            acc[1] = acc[1] + data["sums"][slot]
-            acc[2] = max(acc[2], float(data["conf"][slot]))
-
-    if not roots:
-        return Tbars(locs=np.zeros((0, 3)), conf=np.zeros((0,)))
-    locs = np.stack([v[1] / v[0] for v in roots.values()])
-    confs = np.asarray([v[2] for v in roots.values()])
-    return sort_detections(locs, confs)
 
 
 def detect_h5(

@@ -175,6 +175,83 @@ def components_device(
     return centroids, conf, valid, overflowed
 
 
+class SeamUnionFind:
+    """Union-find over (block_key, slot) nodes for cross-block CC merging."""
+
+    def __init__(self):
+        self.parent: dict = {}
+
+    def find(self, a):
+        p = self.parent
+        root = a
+        while p.setdefault(root, root) != root:
+            root = p[root]
+        while p[a] != root:  # path compression
+            p[a], a = root, p[a]
+        return root
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[rb] = ra
+
+
+def merge_component_fragments(blocks: dict, sentinel: int) -> Tbars:
+    """Merge per-block CC fragments into whole-volume components.
+
+    ``blocks`` maps a 3-D grid key ``(iz, iy, ix)`` to a dict with:
+
+    - ``uniq`` (K,) ascending local root ids (padded with huge values),
+    - ``sums`` (K, 3) GLOBAL coordinate sums, ``count`` (K,), ``conf`` (K,),
+      ``valid`` (K,) — from :func:`cc_label_and_extract`, sums globalized
+      by the block's corner;
+    - ``faces``: 6 boundary label planes in the order (z-lo, z-hi, y-lo,
+      y-hi, x-lo, x-hi), values = local root ids or ``sentinel``
+      (the block voxel count) where below threshold.
+
+    Components whose boundary voxels are 6-adjacent across a block seam
+    are unioned (exactly ``scipy.ndimage.label``'s connectivity — corner
+    contact never links under 6-connectivity, so face adjacency is
+    complete), then counts/coordinate-sums/max-conf reduce per root, so
+    centroids and confidences equal a monolithic run's.  Shared by the
+    mesh-sharded path (parallel.halo.sharded_components) and the
+    out-of-core streaming path (infer.large.detect_streaming).
+    """
+    uf = SeamUnionFind()
+
+    # face index pairs: (axis, this-block hi face, neighbor lo face)
+    face_pairs = [(0, 1, 0), (1, 3, 2), (2, 5, 4)]
+    for (iz, iy, ix), data in blocks.items():
+        for axis, hi_f, lo_f in face_pairs:
+            nb = (iz + (axis == 0), iy + (axis == 1), ix + (axis == 2))
+            if nb not in blocks:
+                continue
+            a = data["faces"][hi_f]
+            b = blocks[nb]["faces"][lo_f]
+            pair = (a < sentinel) & (b < sentinel)
+            if not pair.any():
+                continue
+            ka = np.searchsorted(data["uniq"], a[pair])
+            kb = np.searchsorted(blocks[nb]["uniq"], b[pair])
+            for sa, sb in set(zip(ka.tolist(), kb.tolist())):
+                uf.union(((iz, iy, ix), sa), (nb, sb))
+
+    roots: dict = {}
+    for key, data in blocks.items():
+        for slot in np.nonzero(data["valid"])[0]:
+            r = uf.find((key, int(slot)))
+            acc = roots.setdefault(r, [0.0, np.zeros(3), -np.inf])
+            acc[0] += data["count"][slot]
+            acc[1] = acc[1] + data["sums"][slot]
+            acc[2] = max(acc[2], float(data["conf"][slot]))
+
+    if not roots:
+        return Tbars(locs=np.zeros((0, 3)), conf=np.zeros((0,)))
+    locs = np.stack([v[1] / v[0] for v in roots.values()])
+    confs = np.asarray([v[2] for v in roots.values()])
+    return sort_detections(locs, confs)
+
+
 def label_components(
     prob, threshold: float = 0.5, max_components: int = 1024
 ) -> Tbars:

@@ -1,21 +1,35 @@
-"""Volume-sharded inference and NMS with ICI halo exchange.
+"""Volume-sharded inference, NMS, and CC with ICI halo exchange.
 
 This is the TPU-native analog of flypylib's inference-side parallelism
 (volume blocks split across GPU threads, SURVEY.md section 3.2) and the
 "spatial sequence-parallelism" called for by SURVEY.md sections 2.3/5 and
 eval configs 2/5 [B:8][B:11]:
 
-- the volume is sharded along z over the mesh's ``space`` axis;
+- the volume is sharded along z (1-D mesh) or z and y (2-D mesh) over the
+  named mesh axes;
 - each shard exchanges ``context``-deep boundary slabs with its neighbors
-  via ``lax.ppermute`` (compiled to ICI sends, not host round-trips);
-- edge shards substitute the host-computed reflect padding;
+  via ``lax.ppermute`` (compiled to ICI sends, not host round-trips); the
+  y exchange ships the *z-extended* block, so diagonal-corner data arrives
+  via the two-hop z-then-y path — every shard sees exactly the monolithic
+  neighborhood;
+- edge shards substitute the host-computed reflect padding (ONE reflect
+  pad of the original volume — the single-reflect rule — zero-extended
+  past the shard grid, where values only feed cropped outputs);
 - the fully-convolutional forward then runs per shard, producing exactly
-  its slab of the global probability map — bitwise equal to a monolithic
+  its block of the global probability map — bitwise equal to a monolithic
   run because every conv is VALID;
 - sharded NMS repeats the same halo trick with the NMS window and extracts
   per-shard top-k candidates with *global* coordinates, so the merge is a
   trivial host-side concatenation of tiny detection lists (the "NMS merge
-  over ICI" of [B:11] — the map itself never moves).
+  over ICI" of [B:11] — the map itself never moves);
+- sharded CC labels each block on device and merges fragments across the
+  shard-grid seams with the shared union-find
+  (flypylib_tpu.ops.components.merge_component_fragments).
+
+Volumes thinner than ``n_shards * context`` along a sharded dim no longer
+refuse: the shard grid extends past the volume (extension is -inf for
+NMS/CC and zero-fill for inference, cropped from every result), so the
+API is total in volume shape.
 """
 
 from __future__ import annotations
@@ -32,21 +46,54 @@ from jax import shard_map
 from flypylib_tpu.io.synapses import Tbars
 from flypylib_tpu.models.zoo import ModelSpec
 from flypylib_tpu.ops.host_reference import sort_detections
-from flypylib_tpu.utils import round_up, to3d
+from flypylib_tpu.utils import ceil_div, to3d
 
 
-def _edge_halo_exchange(slab, lo_pad, hi_pad, depth_lo, depth_hi, axis):
-    """Exchange z-boundary slabs with mesh neighbors; edge shards take the
-    provided pads.  slab: (S, Y, X); returns (lo, hi) halo blocks."""
-    n = lax.axis_size(axis)
-    i = lax.axis_index(axis)
-    down = [(j, j + 1) for j in range(n - 1)]  # j's planes -> j+1's lo halo
-    up = [(j + 1, j) for j in range(n - 1)]  # j+1's planes -> j's hi halo
-    lo = lax.ppermute(slab[slab.shape[0] - depth_lo :], axis, down)
-    hi = lax.ppermute(slab[:depth_hi], axis, up)
-    lo = jnp.where(i == 0, lo_pad, lo)
-    hi = jnp.where(i == n - 1, hi_pad, hi)
-    return lo, hi
+def _axes_tuple(axis) -> tuple[str, ...]:
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    if len(axes) not in (1, 2):
+        raise ValueError(f"axis must name 1 or 2 mesh axes, got {axes}")
+    return axes
+
+
+def _exchange_extend(x, lo_pad, hi_pad, dlo, dhi, axis_name, dim):
+    """Extend ``x`` along array dim ``dim`` with neighbor halos exchanged
+    over mesh axis ``axis_name``; edge shards take the provided pads."""
+    n = lax.axis_size(axis_name)
+    i = lax.axis_index(axis_name)
+    size = x.shape[dim]
+    parts = []
+    if dlo:
+        down = [(j, j + 1) for j in range(n - 1)]
+        lo = lax.ppermute(
+            lax.slice_in_dim(x, size - dlo, size, axis=dim), axis_name, down
+        )
+        parts.append(jnp.where(i == 0, lo_pad, lo))
+    parts.append(x)
+    if dhi:
+        up = [(j + 1, j) for j in range(n - 1)]
+        hi = lax.ppermute(
+            lax.slice_in_dim(x, 0, dhi, axis=dim), axis_name, up
+        )
+        parts.append(jnp.where(i == n - 1, hi_pad, hi))
+    return jnp.concatenate(parts, axis=dim) if len(parts) > 1 else x
+
+
+def _shard_extent(v: int, n: int, minimum: int, spec: ModelSpec | None):
+    """Per-shard extent along a sharded dim: >= ceil(v/n), >= minimum, and
+    (for models) aligned so shard starts preserve the packing/pooling
+    phase and shard inputs are valid model sizes."""
+    s = max(ceil_div(v, n), minimum, 1)
+    if spec is not None and spec.size_multiple > 1:
+        mult = spec.size_multiple
+        s = ceil_div(s, mult) * mult
+        if not spec.is_valid_size(s + 2 * spec.context):
+            raise ValueError(
+                f"model {spec.name}: no shard extent with aligned starts "
+                f"gives a valid input size (size_multiple={mult}, "
+                f"size_offset={spec.size_offset}, context={spec.context})"
+            )
+    return s
 
 
 def sharded_infer(
@@ -54,67 +101,70 @@ def sharded_infer(
     variables,
     volume: np.ndarray,
     mesh: Mesh,
-    axis: str = "space",
+    axis="space",
     pad_mode: str = "reflect",
     tile_z: int | None = None,
 ):
-    """Volume-sharded whole-volume inference over a 1-D mesh axis.
+    """Volume-sharded whole-volume inference over 1 or 2 mesh axes.
 
-    Returns the full probability map as a z-sharded global jax array
-    (same shape as ``volume``).  By default each shard's forward runs over
-    its whole slab; pass ``tile_z`` (must divide the slab depth and the
-    model's size_multiple) to bound per-shard activation memory — the
-    shard then scans over z-subtiles in HBM, so arbitrarily large slabs
-    fit (pod-scale volumes, eval config 5 [B:11]).
+    ``axis`` is a mesh axis name (z-sharding) or a pair ``(az, ay)``
+    (z and y sharding — xy footprints shrink with the mesh, so pods scale
+    past what z-only slabs allow).  Returns the full probability map as a
+    sharded global jax array (same shape as ``volume``).  By default each
+    shard's forward runs over its whole block; pass ``tile_z`` to bound
+    per-shard activation memory — the shard then scans over z-subtiles in
+    HBM, so arbitrarily large blocks fit (pod-scale volumes, eval config 5
+    [B:11]).
     """
-    n = mesh.shape[axis]
+    axes = _axes_tuple(axis)
+    two_d = len(axes) == 2
+    az = axes[0]
+    ay = axes[1] if two_d else None
+    nz = mesh.shape[az]
+    ny = mesh.shape[ay] if two_d else 1
     c = spec.context
     vol = np.asarray(volume, dtype=np.float32)
     vz, vy, vx = vol.shape
 
-    # host prep: reflect-pad y/x by the context; extend z to a multiple of
-    # the shard count (reflect), remembering the crop
-    vz_p = round_up(vz, n)
-    s = vz_p // n
-    if s < c:
-        raise ValueError(f"z-slab {s} thinner than context {c}")
-    if spec.size_multiple > 1 and s % spec.size_multiple != 0:
-        raise ValueError(
-            f"z-slab {s} must be a multiple of {spec.size_multiple} for "
-            f"pooling-phase alignment"
-        )
-    # ONE reflect pad of the original volume covers the low halo, the
-    # z-extension, and the high halo — so every input plane matches what a
-    # monolithic context-padded run would see (two-stage padding would
-    # reflect the already-reflected extension and diverge)
-    padded_all = np.pad(
-        vol,
-        ((c, c + (vz_p - vz)), (c, c), (c, c)),
-        mode=pad_mode,
-    )
-    zpad_lo = jnp.asarray(padded_all[:c])
-    zpad_hi = jnp.asarray(padded_all[c + vz_p :])
-    work = jnp.asarray(padded_all[c : c + vz_p])
-
+    sz = _shard_extent(vz, nz, c, spec)
+    sy = _shard_extent(vy, ny, c, spec) if two_d else vy
+    vz_p, vy_p = nz * sz, ny * sy
     if tile_z is not None:
-        if s % tile_z != 0:
-            raise ValueError(f"tile_z {tile_z} must divide z-slab {s}")
+        if sz % tile_z != 0:
+            raise ValueError(f"tile_z {tile_z} must divide z-extent {sz}")
         if spec.size_multiple > 1 and tile_z % spec.size_multiple != 0:
             raise ValueError(
                 f"tile_z {tile_z} must be a multiple of "
-                f"{spec.size_multiple} for pooling-phase alignment"
+                f"{spec.size_multiple} for packing/pooling-phase alignment"
             )
 
-    def fn(variables, slab, lo_pad, hi_pad):
-        lo, hi = _edge_halo_exchange(slab, lo_pad, hi_pad, c, c, axis)
-        x = jnp.concatenate([lo, slab, hi], axis=0)
+    # ONE reflect pad of the original volume (exactly the monolithic
+    # padding), zero-extended to the shard grid: every output voxel z<vz,
+    # y<vy reads only monolithic values; extension values feed outputs
+    # that are cropped below.
+    mono = np.pad(vol, c, mode=pad_mode) if c else vol
+    full = np.zeros((vz_p + 2 * c, vy_p + 2 * c, vx + 2 * c), np.float32)
+    full[: vz + 2 * c, : vy + 2 * c] = mono
+    ysl = slice(c, c + vy_p) if two_d else slice(0, vy_p + 2 * c)
+    work = jnp.asarray(full[c : c + vz_p, ysl, :])
+    zlo = jnp.asarray(full[:c, ysl, :])
+    zhi = jnp.asarray(full[c + vz_p :, ysl, :])
+    extra = ()
+    if two_d:
+        # y-edge pads cover the full z-extended range: shards slice their
+        # own (sz + 2c)-deep window by mesh position
+        extra = (
+            jnp.asarray(full[:, :c, :]),
+            jnp.asarray(full[:, c + vy_p :, :]),
+        )
+
+    def fwd(variables, x):
         if tile_z is None:
             logits = spec.module.apply(
                 variables, x[None, ..., None], train=False
             )
             return jax.nn.sigmoid(logits[0, ..., 0])
 
-        # bounded-memory path: scan over z-subtiles of the slab
         def body(out, t):
             xt = lax.dynamic_slice(
                 x, (t * tile_z, 0, 0),
@@ -128,69 +178,118 @@ def sharded_infer(
             )
             return out, None
 
-        out0 = jnp.zeros((s, vy, vx), jnp.float32)
-        out, _ = lax.scan(body, out0, jnp.arange(s // tile_z))
+        out0 = jnp.zeros(
+            (x.shape[0] - 2 * c, x.shape[1] - 2 * c, x.shape[2] - 2 * c),
+            jnp.float32,
+        )
+        out, _ = lax.scan(body, out0, jnp.arange(sz // tile_z))
         return out
+
+    def fn(variables, slab, zlo_p, zhi_p, *ypads):
+        x = _exchange_extend(slab, zlo_p, zhi_p, c, c, az, dim=0)
+        if two_d:
+            zi = lax.axis_index(az)
+            ylo_f, yhi_f = ypads
+            dims = (sz + 2 * c, c, x.shape[2])
+            ylo = lax.dynamic_slice(ylo_f, (zi * sz, 0, 0), dims)
+            yhi = lax.dynamic_slice(yhi_f, (zi * sz, 0, 0), dims)
+            x = _exchange_extend(x, ylo, yhi, c, c, ay, dim=1)
+        return fwd(variables, x)
+
+    if two_d:
+        in_specs = (
+            P(), P(az, ay, None), P(None, ay, None), P(None, ay, None),
+            P(), P(),
+        )
+        out_spec = P(az, ay, None)
+    else:
+        in_specs = (P(), P(az, None, None), P(), P())
+        out_spec = P(az, None, None)
 
     out = jax.jit(shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(), P(axis, None, None), P(), P()),
-        out_specs=P(axis, None, None),
+        in_specs=in_specs,
+        out_specs=out_spec,
         check_vma=False,
-    ))(variables, work, zpad_lo, zpad_hi)
-    return out[:vz]
+    ))(variables, work, zlo, zhi, *extra)
+    return out[:vz, :vy]
 
 
 def sharded_nms(
     prob,
     mesh: Mesh,
-    axis: str = "space",
+    axis="space",
     window=3,
     threshold: float = 0.5,
     max_per_shard: int = 1024,
 ) -> Tbars:
-    """NMS on a z-sharded probability map with ICI halo exchange.
+    """NMS on a sharded probability map with ICI halo exchange (1-D or 2-D
+    spatial mesh; see :func:`sharded_infer` for the ``axis`` convention).
 
-    Per-shard candidates are extracted with *global* z coordinates; the
+    Per-shard candidates are extracted with *global* coordinates; the
     cross-shard merge is exact because each shard's max-filter sees the
     true neighbor planes via the halo — a voxel at a shard seam is a
-    candidate iff it would be in a monolithic NMS.
+    candidate iff it would be in a monolithic NMS.  Saturated shards grow
+    and retry, so no candidate is silently dropped.
     """
+    axes = _axes_tuple(axis)
+    two_d = len(axes) == 2
+    az = axes[0]
+    ay = axes[1] if two_d else None
+    nz = mesh.shape[az]
+    ny = mesh.shape[ay] if two_d else 1
     wz, wy, wx = to3d(window)
-    hl, hh = wz // 2, wz - 1 - wz // 2
-    n = mesh.shape[axis]
+    hzl, hzh = wz // 2, wz - 1 - wz // 2
+    hyl, hyh = (wy // 2, wy - 1 - wy // 2) if two_d else (0, 0)
+
     prob = jnp.asarray(prob, dtype=jnp.float32)
     vz, vy, vx = prob.shape
-    if vz % n != 0:
+    sz = max(ceil_div(vz, nz), hzl, hzh, 1)
+    sy = max(ceil_div(vy, ny), hyl, hyh, 1) if two_d else vy
+    vz_p, vy_p = nz * sz, ny * sy
+    if (vz_p, vy_p) != (vz, vy):
         prob = jnp.pad(
-            prob, ((0, round_up(vz, n) - vz), (0, 0), (0, 0)),
+            prob, ((0, vz_p - vz), (0, vy_p - vy), (0, 0)),
             constant_values=-jnp.inf,
         )
-    s = prob.shape[0] // n
-    max_per_shard = min(max_per_shard, s * vy * vx)  # top_k k <= slab size
-    neg = jnp.full((max(hl, hh), vy, vx), -jnp.inf, dtype=jnp.float32)
+    max_per_shard = min(max_per_shard, sz * sy * vx)  # top_k k <= block
+
+    negz = jnp.full((max(hzl, hzh), sy, vx), -jnp.inf, dtype=jnp.float32)
+    negy = jnp.full(
+        (sz + hzl + hzh, max(hyl, hyh, 1), vx), -jnp.inf, dtype=jnp.float32
+    )
+
+    if two_d:
+        in_specs = (P(az, ay, None),)
+        out_specs = (P((az, ay), None), P((az, ay)), P((az, ay)))
+    else:
+        in_specs = (P(az, None, None),)
+        out_specs = (P(az, None), P(az), P(az))
 
     @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(axis, None, None),),
-        out_specs=(P(axis, None), P(axis), P(axis)),
+        shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
     )
     def fn(slab):
-        i = lax.axis_index(axis)
-        lo, hi = _edge_halo_exchange(slab, neg[:hl], neg[:hh], hl, hh, axis)
-        ext = jnp.concatenate([lo, slab, hi], axis=0)
-        # separable max filter: 1-D valid pass over z (halo provides the
-        # padding), then padded 1-D passes over y and x
+        zi = lax.axis_index(az)
+        ext = _exchange_extend(
+            slab, negz[:hzl], negz[:hzh], hzl, hzh, az, dim=0
+        )
+        if two_d:
+            ext = _exchange_extend(
+                ext, negy[:, :hyl], negy[:, :hyh], hyl, hyh, ay, dim=1
+            )
+        # separable max filter: valid passes where the halo provides the
+        # padding, interior-padded passes elsewhere
         mf = lax.reduce_window(
             ext, -jnp.inf, lax.max, (wz, 1, 1), (1, 1, 1),
             [(0, 0), (0, 0), (0, 0)],
         )
+        ypad = (0, 0) if two_d else (wy // 2, wy - 1 - wy // 2)
         mf = lax.reduce_window(
             mf, -jnp.inf, lax.max, (1, wy, 1), (1, 1, 1),
-            [(0, 0), (wy // 2, wy - 1 - wy // 2), (0, 0)],
+            [(0, 0), ypad, (0, 0)],
         )
         mf = lax.reduce_window(
             mf, -jnp.inf, lax.max, (1, 1, wx), (1, 1, 1),
@@ -200,60 +299,85 @@ def sharded_nms(
         flat = jnp.where(mask.reshape(-1), slab.reshape(-1), -jnp.inf)
         conf, idx = lax.top_k(flat, max_per_shard)
         valid = conf > -jnp.inf
-        z = idx // (vy * vx) + i * s  # global z
-        rem = idx % (vy * vx)
-        locs = jnp.stack([z, rem // vx, rem % vx], axis=1).astype(jnp.int32)
+        z = idx // (sy * vx) + zi * sz  # global z
+        rem = idx % (sy * vx)
+        y = rem // vx
+        if two_d:
+            y = y + lax.axis_index(ay) * sy
+        locs = jnp.stack([z, y, rem % vx], axis=1).astype(jnp.int32)
         return locs, conf, valid
 
     locs, conf, valid = jax.jit(fn)(prob)
     locs, conf, valid = (np.asarray(locs), np.asarray(conf), np.asarray(valid))
-    if max_per_shard < s * vy * vx and valid.reshape(n, -1).all(axis=1).any():
+    n_shards = nz * ny
+    if (
+        max_per_shard < sz * sy * vx
+        and valid.reshape(n_shards, -1).all(axis=1).any()
+    ):
         # a shard saturated its top-k: grow and retry so no candidate is
         # silently dropped (same self-healing as ops.nms.nms)
         return sharded_nms(
-            prob[:vz], mesh, axis, window, threshold, max_per_shard * 4
+            prob[:vz, :vy], mesh, axis, window, threshold, max_per_shard * 4
         )
-    keep = valid & (locs[:, 0] < vz)
+    keep = valid & (locs[:, 0] < vz) & (locs[:, 1] < vy)
     return sort_detections(locs[keep].astype(np.float64), conf[keep])
 
 
 def sharded_components(
     prob,
     mesh: Mesh,
-    axis: str = "space",
+    axis="space",
     threshold: float = 0.5,
     max_components: int = 1024,
 ) -> Tbars:
-    """Connected components on a z-sharded probability map with an exact
-    cross-shard seam merge.
+    """Connected components on a sharded probability map with an exact
+    cross-shard seam merge (1-D or 2-D spatial mesh).
 
-    Each shard labels its slab on device (flypylib_tpu.ops.components
+    Each shard labels its block on device (flypylib_tpu.ops.components
     core) and exports, besides its compacted component stats, the
-    converged label ids of its two boundary z-planes.  The host then
-    unions components whose boundary voxels are 6-adjacent across a seam
-    (same (y, x), consecutive z) — a tiny union-find over <= n*K
-    components — and merges counts/coordinate-sums/max-conf, so centroids
-    and confidences equal a monolithic run's exactly.
+    converged label ids of its boundary planes.  The host then unions
+    components whose boundary voxels are 6-adjacent across a seam via the
+    shared :func:`~flypylib_tpu.ops.components.merge_component_fragments`
+    union-find, so centroids and confidences equal a monolithic run's
+    exactly.  Overflowing shards grow the per-shard budget and retry.
     """
-    from flypylib_tpu.ops.components import cc_label_and_extract
+    from flypylib_tpu.ops.components import (
+        cc_label_and_extract,
+        merge_component_fragments,
+    )
 
-    n = mesh.shape[axis]
+    axes = _axes_tuple(axis)
+    two_d = len(axes) == 2
+    az = axes[0]
+    ay = axes[1] if two_d else None
+    nz = mesh.shape[az]
+    ny = mesh.shape[ay] if two_d else 1
     prob = jnp.asarray(prob, dtype=jnp.float32)
     vz, vy, vx = prob.shape
-    if vz % n != 0:
+    sz = max(ceil_div(vz, nz), 1)
+    sy = max(ceil_div(vy, ny), 1) if two_d else vy
+    vz_p, vy_p = nz * sz, ny * sy
+    if (vz_p, vy_p) != (vz, vy):
         prob = jnp.pad(
-            prob, ((0, round_up(vz, n) - vz), (0, 0), (0, 0)),
+            prob, ((0, vz_p - vz), (0, vy_p - vy), (0, 0)),
             constant_values=-jnp.inf,
         )
-    s = prob.shape[0] // n
-    K = max_components
+    block_nvox = sz * sy * vx
+    # cc_label_and_extract clamps K to the block voxel count internally;
+    # mirror that here so the stacked output shapes stay (n_shards, K)
+    K = min(max_components, block_nvox)
+
+    if two_d:
+        in_specs = (P(az, ay, None),)
+        ax0 = (az, ay)
+    else:
+        in_specs = (P(az, None, None),)
+        ax0 = az
+    g1, g2 = P(ax0), P(ax0, None)
+    out_specs = (g1, g2, g1, g1, g1, g1, g2, g2, g2, g2)
 
     @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(axis, None, None),),
-        out_specs=(P(axis), P(axis, None), P(axis), P(axis), P(axis), P(axis),
-                   P(axis, None), P(axis, None)),
+        shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
     )
     def fn(slab):
@@ -262,69 +386,48 @@ def sharded_components(
         )
         return (
             uniq, sums, count, conf, valid, over[None],
-            lab[0], lab[s - 1],
+            lab[0], lab[sz - 1], lab[:, 0], lab[:, sy - 1],
         )
 
-    uniq, sums, count, conf, valid, over, tops, bots = jax.jit(fn)(prob)
+    res = jax.jit(fn)(prob)
+    uniq, sums, count, conf, valid, over, zlo, zhi, ylo, yhi = res
     if bool(np.asarray(over).any()):
         return sharded_components(
-            np.asarray(prob), mesh, axis, threshold, max_components * 4
+            prob[:vz, :vy], mesh, axis, threshold, max_components * 4
         )
 
-    uniq = np.asarray(uniq).reshape(n, K)
-    sums = np.array(sums).reshape(n, K, 3)  # writable copy
-    count = np.asarray(count).reshape(n, K)
-    conf = np.asarray(conf).reshape(n, K)
-    valid = np.asarray(valid).reshape(n, K)
-    tops = np.asarray(tops).reshape(n, vy, vx)
-    bots = np.asarray(bots).reshape(n, vy, vx)
-    slab_sentinel = s * vy * vx
+    uniq = np.asarray(uniq).reshape(nz, ny, K)
+    sums = np.array(sums, np.float64).reshape(nz, ny, K, 3)
+    count = np.asarray(count, np.float64).reshape(nz, ny, K)
+    conf = np.asarray(conf).reshape(nz, ny, K)
+    valid = np.asarray(valid).reshape(nz, ny, K)
+    zlo = np.asarray(zlo).reshape(nz, ny, sy, vx)
+    zhi = np.asarray(zhi).reshape(nz, ny, sy, vx)
+    ylo = np.asarray(ylo).reshape(nz, ny, sz, vx)
+    yhi = np.asarray(yhi).reshape(nz, ny, sz, vx)
 
-    # globalize z sums (local z -> local z + shard offset)
-    sums[..., 0] += (np.arange(n)[:, None] * s) * count
+    # globalize coordinate sums by each shard's corner
+    blocks = {}
+    for iz in range(nz):
+        for iy in range(ny):
+            s = sums[iz, iy].copy()
+            s[:, 0] += iz * sz * count[iz, iy]
+            s[:, 1] += iy * sy * count[iz, iy]
+            blocks[(iz, iy, 0)] = {
+                "uniq": uniq[iz, iy],
+                "sums": s,
+                "count": count[iz, iy],
+                "conf": conf[iz, iy],
+                "valid": valid[iz, iy],
+                "faces": [
+                    zlo[iz, iy], zhi[iz, iy],
+                    ylo[iz, iy], yhi[iz, iy],
+                    None, None,  # x never sharded
+                ],
+            }
 
-    # union-find over (shard, slot) nodes
-    parent = np.arange(n * K)
-
-    def find(a):
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
-
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[rb] = ra
-
-    for i in range(n - 1):
-        b, t = bots[i], tops[i + 1]
-        pair = (b < slab_sentinel) & (t < slab_sentinel)
-        if not pair.any():
-            continue
-        rb = b[pair]
-        rt = t[pair]
-        kb = np.searchsorted(uniq[i], rb)
-        kt = np.searchsorted(uniq[i + 1], rt)
-        for a, c in set(zip(kb.tolist(), kt.tolist())):
-            union(i * K + a, (i + 1) * K + c)
-
-    flat_valid = valid.reshape(-1)
-    flat_count = count.reshape(-1)
-    flat_sums = sums.reshape(-1, 3)
-    flat_conf = conf.reshape(-1)
-    roots = {}
-    for node in np.nonzero(flat_valid)[0]:
-        r = find(node)
-        if r not in roots:
-            roots[r] = [0.0, np.zeros(3), -np.inf]
-        roots[r][0] += flat_count[node]
-        roots[r][1] = roots[r][1] + flat_sums[node]
-        roots[r][2] = max(roots[r][2], flat_conf[node])
-
-    if not roots:
-        return Tbars(locs=np.zeros((0, 3)), conf=np.zeros((0,)))
-    locs = np.stack([v[1] / v[0] for v in roots.values()])
-    confs = np.asarray([v[2] for v in roots.values()])
-    keep = locs[:, 0] < vz  # drop anything from the -inf z padding
-    return sort_detections(locs[keep], confs[keep])
+    det = merge_component_fragments(blocks, block_nvox)
+    if len(det) == 0:
+        return det
+    keep = (det.locs[:, 0] < vz) & (det.locs[:, 1] < vy)
+    return Tbars(locs=det.locs[keep], conf=det.conf[keep])

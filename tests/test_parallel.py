@@ -245,3 +245,135 @@ def test_sharded_nms_default_max_per_shard_small_volume(rng):
     host = nms_host(vol, window=3, threshold=0.9)
     dev = sharded_nms(vol, mesh, window=3, threshold=0.9)
     np.testing.assert_array_equal(host.locs, dev.locs)
+
+
+# ---------------------------------------------------------------------------
+# 2-D (z x y) spatial sharding
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    from flypylib_tpu.parallel import make_mesh_2d
+
+    return make_mesh_2d((4, 2), axes=("spacez", "spacey"))
+
+
+def test_sharded_infer_2d_equals_monolithic(small_model, mesh2d, rng):
+    spec, variables = small_model
+    vol = rng.random((24, 20, 18)).astype(np.float32)
+    mono = monolithic(spec, variables, vol)
+    shard = np.asarray(
+        sharded_infer(spec, variables, vol, mesh2d,
+                      axis=("spacez", "spacey"))
+    )
+    np.testing.assert_array_equal(shard, mono)
+
+
+def test_sharded_infer_2d_nondivisible(small_model, mesh2d, rng):
+    """Non-divisible extents + corner-dependent voxels stay bitwise."""
+    spec, variables = small_model
+    vol = rng.random((27, 15, 14)).astype(np.float32)
+    mono = monolithic(spec, variables, vol)
+    shard = np.asarray(
+        sharded_infer(spec, variables, vol, mesh2d,
+                      axis=("spacez", "spacey"))
+    )
+    np.testing.assert_array_equal(shard, mono)
+
+
+def test_sharded_infer_thin_volume_totality(small_model, rng):
+    """Volumes thinner than n_shards*context no longer refuse (the shard
+    grid extends past the volume; extension is cropped)."""
+    spec, variables = small_model  # context 3
+    mesh = make_mesh(8, axis="space")
+    vol = rng.random((8, 16, 16)).astype(np.float32)  # slab would be 1 < 3
+    mono = monolithic(spec, variables, vol)
+    shard = np.asarray(sharded_infer(spec, variables, vol, mesh))
+    np.testing.assert_array_equal(shard, mono)
+
+
+def test_sharded_infer_2d_tiled_z(small_model, mesh2d, rng):
+    spec, variables = small_model
+    vol = rng.random((24, 20, 18)).astype(np.float32)
+    mono = monolithic(spec, variables, vol)
+    shard = np.asarray(
+        sharded_infer(spec, variables, vol, mesh2d,
+                      axis=("spacez", "spacey"), tile_z=3)
+    )
+    np.testing.assert_array_equal(shard, mono)
+
+
+def test_sharded_nms_2d_seams(mesh2d):
+    """Peaks at z-seams, y-seams, and the seam crossing point."""
+    vol = np.zeros((24, 20, 16), dtype=np.float32)
+    # z-extent 6 per shard, y-extent 10 per shard
+    for z, y, x, v in [
+        (5, 4, 4, 0.9), (6, 14, 8, 0.8),     # z seam, both sides
+        (12, 9, 4, 0.95), (12, 10, 12, 0.7),  # y seam, both sides
+        (17, 9, 8, 0.85), (18, 10, 8, 0.84),  # diagonal across both seams
+    ]:
+        vol[z, y, x] = v
+    host = nms_host(vol, window=3, threshold=0.5)
+    dev = sharded_nms(vol, mesh2d, axis=("spacez", "spacey"),
+                      window=3, threshold=0.5, max_per_shard=16)
+    np.testing.assert_array_equal(host.locs, dev.locs)
+    np.testing.assert_allclose(host.conf, dev.conf, rtol=1e-6)
+
+
+def test_sharded_nms_2d_random(mesh2d, rng):
+    vol = rng.random((25, 21, 17)).astype(np.float32)
+    host = nms_host(vol, window=5, threshold=0.85)
+    dev = sharded_nms(vol, mesh2d, axis=("spacez", "spacey"),
+                      window=5, threshold=0.85, max_per_shard=256)
+    assert len(host) > 0
+    np.testing.assert_array_equal(host.locs, dev.locs)
+    np.testing.assert_allclose(host.conf, dev.conf, rtol=1e-6)
+
+
+def test_sharded_components_2d(mesh2d, rng):
+    from flypylib_tpu.ops.host_reference import components_host
+    from flypylib_tpu.parallel.halo import sharded_components
+    from tests.test_detect_ops import assert_same_detections
+
+    vol = np.zeros((24, 20, 16), dtype=np.float32)
+    vol[4:8, 8:12, 8] = 0.8     # spans the y seam and a z seam
+    vol[11:14, 5, 5] = 0.9      # spans a z seam only
+    vol[12, 9, 3] = 0.6         # corner-adjacent pair across the seam
+    vol[13, 10, 4] = 0.7        # (diagonal: must stay TWO components)
+    host = components_host(vol, threshold=0.5)
+    dev = sharded_components(vol, mesh2d, axis=("spacez", "spacey"),
+                             threshold=0.5, max_components=16)
+    assert_same_detections(host, dev, loc_tol=1e-4)
+
+
+def test_sharded_components_2d_random(mesh2d, rng):
+    from flypylib_tpu.ops.host_reference import components_host
+    from flypylib_tpu.parallel.halo import sharded_components
+    from tests.test_detect_ops import assert_same_detections
+
+    vol = (rng.random((25, 19, 14)) > 0.75).astype(np.float32)
+    host = components_host(vol, threshold=0.5)
+    dev = sharded_components(vol, mesh2d, axis=("spacez", "spacey"),
+                             threshold=0.5, max_components=1024)
+    assert len(host) > 10
+    assert_same_detections(host, dev, loc_tol=1e-3)
+
+
+def test_sharded_infer_2d_packed_spec(rng):
+    """2-D sharding composes with the packed engine (size_multiple=2)."""
+    from flypylib_tpu.ops.packed_conv import packed_spec
+    from flypylib_tpu.parallel import make_mesh_2d
+
+    spec = baseline_model(features=(4, 6), dilations=(1, 2),
+                          head_features=8, dtype=jnp.float32)
+    pspec = packed_spec(spec)
+    variables = spec.init(jax.random.PRNGKey(0), 16)
+    mesh = make_mesh_2d((2, 2), axes=("spacez", "spacey"))
+    vol = rng.random((20, 18, 16)).astype(np.float32)
+    mono = monolithic(spec, variables, vol)
+    shard = np.asarray(
+        sharded_infer(pspec, variables, vol, mesh,
+                      axis=("spacez", "spacey"))
+    )
+    np.testing.assert_allclose(shard, mono, rtol=2e-4, atol=2e-4)
