@@ -25,6 +25,55 @@ from flypylib_tpu.io.synapses import Tbars
 from flypylib_tpu.ops.host_reference import sort_detections
 
 
+def _match_dense(pred_locs, gt_locs, thresh2, tp, match_idx):
+    """O(n_pred * n_gt) reference matcher (small lists)."""
+    d2 = np.sum(
+        (pred_locs[:, None, :] - gt_locs[None, :, :]) ** 2, axis=2
+    )  # (n_pred, n_gt)
+    taken = np.zeros(len(gt_locs), dtype=bool)
+    for i in range(len(pred_locs)):
+        row = np.where(taken, np.inf, d2[i])
+        j = int(np.argmin(row))  # argmin returns lowest index on ties
+        if row[j] <= thresh2:
+            tp[i] = True
+            match_idx[i] = j
+            taken[j] = True
+
+
+def _match_kdtree(pred_locs, gt_locs, thresh, thresh2, tp, match_idx):
+    """cKDTree matcher for pod-scale lists (10^5-10^6 detections): each
+    prediction only examines ground truths within the distance threshold,
+    so cost is O((n_pred + n_gt) log n_gt + matches) instead of the dense
+    O(n_pred * n_gt) matrix.  Identical results to :func:`_match_dense`
+    including the tie rule (pinned by tests/test_matching.py): candidates
+    are re-scored with the same ``sum((p - g)**2)`` arithmetic and taken
+    in (d2, gt_index) order."""
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(gt_locs)
+    # tiny inflation so boundary points survive the tree's own metric
+    # rounding; the exact d2 <= thresh2 filter below decides membership
+    neighbors = tree.query_ball_point(
+        pred_locs, r=float(thresh) * (1 + 1e-9) + 1e-12, workers=-1
+    )
+    taken = np.zeros(len(gt_locs), dtype=bool)
+    for i, nbrs in enumerate(neighbors):
+        if not nbrs:
+            continue
+        nbrs = np.asarray(nbrs, dtype=np.int64)
+        d2 = np.sum((pred_locs[i] - gt_locs[nbrs]) ** 2, axis=1)
+        order = np.lexsort((nbrs, d2))  # d2 asc, gt index asc on ties
+        for k in order:
+            j = int(nbrs[k])
+            if d2[k] > thresh2:
+                break
+            if not taken[j]:
+                tp[i] = True
+                match_idx[i] = j
+                taken[j] = True
+                break
+
+
 def match_detections(
     pred: Tbars, gt: Tbars, dist_thresh: float = 10.0
 ) -> tuple[np.ndarray, np.ndarray, Tbars]:
@@ -32,7 +81,8 @@ def match_detections(
 
     Returns ``(tp, match_idx, pred_sorted)`` where ``tp[i]`` says whether the
     i-th prediction (canonical order) matched, ``match_idx[i]`` is the
-    matched ground-truth index (-1 if none).
+    matched ground-truth index (-1 if none).  Small lists use the dense
+    matrix; large ones switch to a cKDTree with bit-identical results.
     """
     pred = sort_detections(pred.locs, pred.conf)
     n_pred, n_gt = len(pred), len(gt)
@@ -41,18 +91,13 @@ def match_detections(
     if n_pred == 0 or n_gt == 0:
         return tp, match_idx, pred
 
-    d2 = np.sum(
-        (pred.locs[:, None, :] - gt.locs[None, :, :]) ** 2, axis=2
-    )  # (n_pred, n_gt)
     thresh2 = float(dist_thresh) ** 2
-    taken = np.zeros(n_gt, dtype=bool)
-    for i in range(n_pred):
-        row = np.where(taken, np.inf, d2[i])
-        j = int(np.argmin(row))  # argmin returns lowest index on ties
-        if row[j] <= thresh2:
-            tp[i] = True
-            match_idx[i] = j
-            taken[j] = True
+    if n_pred * n_gt <= 4_000_000:
+        _match_dense(pred.locs, gt.locs, thresh2, tp, match_idx)
+    else:
+        _match_kdtree(
+            pred.locs, gt.locs, float(dist_thresh), thresh2, tp, match_idx
+        )
     return tp, match_idx, pred
 
 

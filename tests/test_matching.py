@@ -77,3 +77,62 @@ def test_voxel_pr():
     mask[2:4, 2:4, 2:4] = 0
     res = voxel_pr(prob, labels, mask=mask, thresholds=[0.5])
     assert res["recall"][0] == 0.0
+
+
+def test_kdtree_matches_dense_random():
+    """The cKDTree matcher (pod-scale path) == dense matrix matcher,
+    including ties (quantized coords force exact-equal distances)."""
+    from flypylib_tpu.ops.matching import _match_dense, _match_kdtree
+
+    rng = np.random.default_rng(11)
+    n_pred, n_gt = 800, 600
+    # integer coords in a small box -> many exact distance ties
+    pred_locs = rng.integers(0, 25, (n_pred, 3)).astype(np.float64)
+    gt_locs = rng.integers(0, 25, (n_gt, 3)).astype(np.float64)
+    thresh = 4.0
+
+    tp_a = np.zeros(n_pred, bool)
+    mi_a = np.full(n_pred, -1, np.int64)
+    _match_dense(pred_locs, gt_locs, thresh**2, tp_a, mi_a)
+
+    tp_b = np.zeros(n_pred, bool)
+    mi_b = np.full(n_pred, -1, np.int64)
+    _match_kdtree(pred_locs, gt_locs, thresh, thresh**2, tp_b, mi_b)
+
+    np.testing.assert_array_equal(tp_a, tp_b)
+    np.testing.assert_array_equal(mi_a, mi_b)
+
+
+def test_kdtree_boundary_distance():
+    """Points exactly at the distance threshold match on both paths."""
+    from flypylib_tpu.ops.matching import _match_dense, _match_kdtree
+
+    pred_locs = np.asarray([[0.0, 0.0, 0.0], [10.0, 0.0, 0.0]])
+    gt_locs = np.asarray([[3.0, 4.0, 0.0], [10.0, 5.0, 0.0]])  # d = 5, 5
+    for fn, args in [
+        (_match_dense, (pred_locs, gt_locs, 25.0)),
+        (_match_kdtree, (pred_locs, gt_locs, 5.0, 25.0)),
+    ]:
+        tp = np.zeros(2, bool)
+        mi = np.full(2, -1, np.int64)
+        fn(*args, tp, mi)
+        assert tp.tolist() == [True, True]
+        assert mi.tolist() == [0, 1]
+
+
+def test_match_detections_large_uses_kdtree():
+    """The public API transparently switches paths; results identical."""
+    from flypylib_tpu.ops.matching import _match_dense
+
+    rng = np.random.default_rng(5)
+    n = 2500  # n*n > 4M -> kdtree path
+    locs = rng.random((n, 3)) * 100
+    pred = Tbars(locs=locs + rng.normal(0, 1, (n, 3)), conf=rng.random(n))
+    gt = Tbars(locs=locs)
+    tp, mi, pred_sorted = match_detections(pred, gt, dist_thresh=3.0)
+
+    tp_ref = np.zeros(n, bool)
+    mi_ref = np.full(n, -1, np.int64)
+    _match_dense(pred_sorted.locs, gt.locs, 9.0, tp_ref, mi_ref)
+    np.testing.assert_array_equal(tp, tp_ref)
+    np.testing.assert_array_equal(mi, mi_ref)

@@ -135,3 +135,111 @@ def test_plot_pr_curve(tmp_path):
     import os
 
     assert os.path.getsize(p) > 1000
+
+
+def test_keras_unet_roundtrip(tmp_path):
+    """U-Net (Conv + ConvTranspose interleaving) round-trips by name."""
+    import jax
+    import numpy as np
+
+    from flypylib_tpu.io.keras_import import (
+        load_keras_variables,
+        save_keras_weights,
+    )
+    from flypylib_tpu.models.zoo import unet
+
+    spec = unet(base_features=4, levels=2, convs_per_stage=1)
+    variables = spec.init(jax.random.PRNGKey(3))
+    path = str(tmp_path / "unet.h5")
+    save_keras_weights(path, variables)
+
+    target = spec.init(jax.random.PRNGKey(9))  # different init
+    loaded = load_keras_variables(path, target)
+    for k, orig in variables["params"].items():
+        for leaf in orig:
+            np.testing.assert_array_equal(
+                np.asarray(orig[leaf]), np.asarray(loaded["params"][k][leaf])
+            )
+
+
+def test_keras_batchnorm_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flypylib_tpu.io.keras_import import (
+        load_keras_variables,
+        save_keras_weights,
+    )
+    from flypylib_tpu.models.zoo import ConvStack
+
+    module = ConvStack(features=(4, 6), dilations=(1, 1), head_features=8,
+                       use_batchnorm=True, dtype=jnp.float32)
+    variables = module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 12, 1)), train=False
+    )
+    variables = jax.tree.map(
+        lambda v: v + np.random.default_rng(0).normal(
+            0, 0.1, v.shape
+        ).astype(np.asarray(v).dtype),
+        variables,
+    )
+    path = str(tmp_path / "bn.h5")
+    save_keras_weights(path, variables)
+
+    target = module.init(
+        jax.random.PRNGKey(4), jnp.zeros((1, 12, 12, 12, 1)), train=False
+    )
+    loaded = load_keras_variables(path, target)
+    for coll in ("params", "batch_stats"):
+        for k, orig in variables[coll].items():
+            for leaf in orig:
+                np.testing.assert_array_equal(
+                    np.asarray(orig[leaf]),
+                    np.asarray(loaded[coll][k][leaf]),
+                )
+
+
+def test_keras_import_unmatched_layer_errors(tmp_path):
+    """Strict contract: missing model layers error, never skip."""
+    import jax
+    import pytest
+
+    from flypylib_tpu.io.keras_import import (
+        load_keras_variables,
+        save_keras_weights,
+    )
+    from flypylib_tpu.models.zoo import baseline_model
+
+    small = baseline_model(features=(4,), dilations=(1,), head_features=8)
+    big = baseline_model(features=(4, 6), dilations=(1, 1), head_features=8)
+    path = str(tmp_path / "small.h5")
+    save_keras_weights(path, small.init(jax.random.PRNGKey(0)))
+    with pytest.raises(
+        ValueError, match="count mismatch|not present|shape"
+    ):
+        load_keras_variables(path, big.init(jax.random.PRNGKey(0)))
+
+
+def test_keras_order_import_rejects_unet(tmp_path):
+    """Anonymous (non-Flax-named) files cannot target U-Nets."""
+    import h5py
+    import jax
+    import numpy as np
+    import pytest
+
+    from flypylib_tpu.io.keras_import import load_keras_variables
+    from flypylib_tpu.models.zoo import unet
+
+    spec = unet(base_features=4, levels=1, convs_per_stage=1)
+    variables = spec.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "anon.h5")
+    with h5py.File(path, "w") as f:
+        for i in range(3):
+            grp = f.create_group(f"conv3d_{i}").create_group(f"conv3d_{i}")
+            grp.create_dataset(
+                "kernel:0", data=np.zeros((3, 3, 3, 1, 4), np.float32)
+            )
+            grp.create_dataset("bias:0", data=np.zeros(4, np.float32))
+    with pytest.raises(ValueError, match="ConvTranspose"):
+        load_keras_variables(path, variables)
