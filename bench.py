@@ -2,13 +2,26 @@
 
 North-star metric (BASELINE.json:2,5): Mvoxels/sec/chip for whole-volume
 3D inference including on-device post-processing, on a synthetic FIB-SEM-
-like volume.  ``vs_baseline`` is the speedup over the CPU reference path
+like volume, through the space-to-depth packed engine (ops/packed_conv).
+
+Three throughputs are reported (round-2 judge contract):
+
+- ``value`` (headline): 256^3 end-to-end through the sandbox tunnel —
+  upload + forward + NMS + CC + detection download, min over 5 runs
+  (directly comparable to BENCH_r01).
+- ``device_resident_mvox_s``: same work with the volume pre-staged in
+  HBM — the chip's real number, wire excluded (eval "device-resident"
+  config; the 38 MB/s tunnel otherwise caps everything).
+- ``streaming_1k_mvox_s``: 1024^3 out-of-core streaming end-to-end via
+  infer/large.py (eval config 2, BASELINE.json:8).
+
+``vs_baseline`` is the speedup over the CPU reference path
 (flypylib-equivalent: jax-CPU conv forward + scipy NMS/CC on host,
-BASELINE.json:7 eval config 1), measured here on a smaller cutout and
+BASELINE.json:7 eval config 1), measured on a smaller cutout and
 normalized to Mvox/s.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "Mvox/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "Mvox/s", "vs_baseline": N, ...}
 """
 
 from __future__ import annotations
@@ -33,16 +46,46 @@ def make_volume(size: int, n_blobs: int, seed: int = 0) -> np.ndarray:
     return np.clip(vol, 0, 1)
 
 
-def bench_tpu(size: int = 256, tile_out: int = 128, tile_batch: int = 4):
-    import jax
-    import jax.numpy as jnp
+def make_volume_u8(size: int, n_blobs: int, seed: int = 0) -> np.ndarray:
+    """Chunked uint8 builder (1k^3 needs ~1 GB, not 8 GB of f64 noise)."""
+    rng = np.random.default_rng(seed)
+    vol = np.empty((size,) * 3, np.uint8)
+    step = max(1, (1 << 27) // (size * size))  # ~128 MB f32 slabs
+    for z0 in range(0, size, step):
+        z1 = min(size, z0 + step)
+        sl = rng.normal(0.1, 0.05, (z1 - z0, size, size)).astype(np.float32)
+        vol[z0:z1] = (np.clip(sl, 0, 1) * 255).astype(np.uint8)
+    centers = rng.integers(5, size - 5, (n_blobs, 3))
+    g = np.arange(-4, 5)
+    zz, yy, xx = np.meshgrid(g, g, g, indexing="ij")
+    blob = (
+        np.exp(-(zz**2 + yy**2 + xx**2) / (2 * 2.0**2)) * 255
+    ).astype(np.uint8)
+    for c in centers:
+        sl = tuple(slice(c[i] - 4, c[i] + 5) for i in range(3))
+        vol[sl] = np.maximum(vol[sl], blob)
+    return vol
 
-    from flypylib_tpu.infer.pipeline import DetectPipeline
+
+def _flagship(dtype=None):
+    import jax
+
     from flypylib_tpu.models.zoo import baseline_model
+    from flypylib_tpu.ops.packed_conv import packed_spec
 
     spec = baseline_model()
-    tin = spec.valid_size(tile_out + 2 * spec.context)
+    pspec = packed_spec(spec)
+    tin = pspec.valid_size(128 + 2 * pspec.context)
     variables = spec.init(jax.random.PRNGKey(0), tin)
+    return pspec, variables
+
+
+def bench_tpu(size: int = 256, tile_out: int = 128, tile_batch: int = 4):
+    import jax.numpy as jnp  # noqa: F401  (backend init)
+
+    from flypylib_tpu.infer.pipeline import DetectPipeline
+
+    pspec, variables = _flagship()
     # uint8 grayscale on the wire (EM volumes are uint8 natively; 4x less
     # host->HBM traffic than f32)
     vol = (make_volume(size, n_blobs=max(8, size // 16)) * 255).astype(
@@ -54,7 +97,7 @@ def bench_tpu(size: int = 256, tile_out: int = 128, tile_batch: int = 4):
     # process realistic (non-saturating) counts on an untrained net
     q = 1.0 - 2000.0 / vol.size
     pipe = DetectPipeline(
-        spec, variables, vol.shape, tile_out=tile_out,
+        pspec, variables, vol.shape, tile_out=tile_out,
         tile_batch=tile_batch, window=5, threshold_quantile=q,
         max_detections=4096, max_components=4096,
     )
@@ -64,11 +107,60 @@ def bench_tpu(size: int = 256, tile_out: int = 128, tile_batch: int = 4):
         t0 = time.perf_counter()
         pipe(vol)
         times.append(time.perf_counter() - t0)
-    dt = min(times)  # min over 5: the tunnel adds heavy-tailed jitter
-    return vol.size / dt / 1e6, {
+    wire_dt = min(times)  # min over 5: the tunnel adds heavy-tailed jitter
+
+    # device-resident: volume staged in HBM once; forward + NMS + CC only
+    staged = pipe.stage(vol)
+    pipe.postprocess(pipe.forward_staged(staged))  # warm
+    dev_times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        pipe.postprocess(pipe.forward_staged(staged))
+        dev_times.append(time.perf_counter() - t0)
+    dev_dt = min(dev_times)
+
+    return {
+        "value": vol.size / wire_dt / 1e6,
+        "device_resident_mvox_s": vol.size / dev_dt / 1e6,
         "nms_detections": len(nms_det),
         "cc_components": len(cc_det),
-        "seconds": dt,
+        "seconds": wire_dt,
+        "device_resident_seconds": dev_dt,
+    }
+
+
+def bench_streaming_1k(size: int = 1024):
+    """Eval config 2 [B:8]: out-of-core 1k^3 end-to-end streaming NMS."""
+    import jax
+
+    from flypylib_tpu.infer.large import array_reader, detect_streaming
+    from flypylib_tpu.infer.tiled import infer_volume
+
+    pspec, variables = _flagship()
+    vol = make_volume_u8(size, n_blobs=max(64, size // 8))
+
+    # pick the operating threshold from a small probe cutout (untrained
+    # net: a quantile keeps candidate counts realistic)
+    probe = infer_volume(
+        pspec, variables, vol[:128, :128, :128].astype(np.float32) / 255.0,
+        tile_out=128,
+    )
+    thr = float(np.quantile(probe, 0.9999))
+
+    shape, read = array_reader(vol)
+    t0 = time.perf_counter()
+    # ~1.6k candidates/ROI at this quantile; the pipeline grows-and-
+    # retries on saturation, so a small per-ROI top-k stays safe (large
+    # static top_k is a pathological compile — CLAUDE.md)
+    det = detect_streaming(
+        pspec, variables, shape, read, core=256, tile_out=256,
+        window=5, threshold=thr, max_detections_per_roi=8192,
+    )
+    dt = time.perf_counter() - t0
+    return {
+        "streaming_1k_mvox_s": vol.size / dt / 1e6,
+        "streaming_1k_seconds": dt,
+        "streaming_1k_detections": len(det),
     }
 
 
@@ -121,7 +213,12 @@ def bench_cpu_reference(size: int = 128):
 
 def main():
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    value, info = bench_tpu(size=size)
+    info = bench_tpu(size=size)
+    value = info.pop("value")
+    try:
+        stream = bench_streaming_1k()
+    except Exception as e:  # keep the headline alive on OOM etc.
+        stream = {"streaming_1k_error": str(e)[:200]}
     try:
         # small cutout: the CPU path is ~1000x slower, a 64^3 measurement
         # already averages thousands of conv windows and keeps total bench
@@ -133,13 +230,16 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "predict+nms+cc Mvox/s/chip (baseline 3D CNN, "
-                f"{size}^3 volume)",
+                "metric": "predict+nms+cc Mvox/s/chip (packed baseline 3D "
+                f"CNN, {size}^3 volume, tunnel-wire end-to-end)",
                 "value": round(value, 2),
                 "unit": "Mvox/s",
                 "vs_baseline": round(vs, 2) if vs else None,
                 "cpu_reference_mvox_s": round(baseline, 2) if baseline else None,
-                **info,
+                **{
+                    k: (round(v, 2) if isinstance(v, float) else v)
+                    for k, v in {**info, **stream}.items()
+                },
             }
         )
     )

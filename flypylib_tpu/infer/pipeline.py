@@ -247,22 +247,30 @@ class DetectPipeline:
             self._posts[key] = self._make_post(k_det, k_comp)
         return self._posts[key]
 
-    def forward(self, volume: np.ndarray) -> jax.Array:
-        """volume -> device-resident prob map of shape ``_out_shape``
-        (valid region is ``[:vz, :vy, :vx]``); uploads overlap compute."""
+    def stage(self, volume: np.ndarray) -> list:
+        """Host-pad and upload the volume's z-slabs to HBM (queued
+        back-to-back on the wire).  The return value can be passed to
+        :meth:`forward_staged` any number of times — the device-resident
+        operating mode (chip-bound throughput, wire excluded)."""
         padded = self.prepare(volume)
         tin = self._tin
-        # queue every slab upload up front: transfers run back-to-back on
-        # the wire while earlier slabs' forwards execute
-        slab_devs = [
+        return [
             jax.device_put(padded[zs : zs + tin]) for zs, _ in self._slabs
         ]
+
+    def forward_staged(self, slabs: list) -> jax.Array:
+        """Staged slabs (from :meth:`stage`) -> device-resident prob map."""
         out = jnp.zeros(self._out_shape, dtype=jnp.float32)
-        for (zs, local), slab in zip(self._slabs, slab_devs):
+        for (zs, local), slab in zip(self._slabs, slabs):
             out = self._fwd_slab(
                 self.variables, slab, local, out, jnp.int32(zs)
             )
         return out
+
+    def forward(self, volume: np.ndarray) -> jax.Array:
+        """volume -> device-resident prob map of shape ``_out_shape``
+        (valid region is ``[:vz, :vy, :vx]``); uploads overlap compute."""
+        return self.forward_staged(self.stage(volume))
 
     def postprocess(self, out: jax.Array, valid_lo=None, valid_hi=None):
         """Device prob map (from :meth:`forward`) -> detection lists."""

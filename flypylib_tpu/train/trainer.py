@@ -321,9 +321,29 @@ class Trainer:
         mask,
         epochs: int = 1,
         callback=None,
+        val_data=None,
+        val_tbars=None,
+        val_every: int = 1,
+        val_threshold: float = 0.5,
+        val_window=3,
+        val_dist_thresh: float = 10.0,
+        metrics_log=None,
     ):
         """Train on one labeled volume or lists of them (parity:
-        FplNetwork.train over labeled cube lists)."""
+        FplNetwork.train over labeled cube lists, incl. the validation
+        data Keras ``fit`` carried).
+
+        ``val_data``: optional ``(image, labels, mask)`` held-out volume —
+        each ``val_every`` epochs the model runs full inference on it and
+        the epoch record gains ``val_loss`` (masked BCE) and
+        ``val_voxel_precision``/``val_voxel_recall`` (at
+        ``val_threshold``).  ``val_tbars``: optional ground-truth point
+        list — adds object-level ``val_obj_precision``/``val_obj_recall``
+        (NMS at ``val_window``/``val_threshold``, greedy matching within
+        ``val_dist_thresh``).  ``metrics_log``: optional
+        :class:`flypylib_tpu.utils.metrics.MetricsLog` receiving every
+        epoch record.
+        """
         patch = self.spec.valid_size(self.cfg.patch_size)
         data = TrainData.build(image, labels, mask, patch)
 
@@ -338,10 +358,51 @@ class Trainer:
             self.state, metrics = self._train_step(self.state, keys, data)
             ep = {k2: float(v) for k2, v in metrics.items()}
             ep["epoch"] = epoch
+            if val_data is not None and epoch % max(val_every, 1) == 0:
+                ep.update(self._validate(
+                    val_data, val_tbars, val_threshold, val_window,
+                    val_dist_thresh,
+                ))
             self.history.append(ep)
+            if metrics_log is not None:
+                metrics_log.log(ep)
             if callback:
                 callback(ep)
         return self.history
+
+    def _validate(self, val_data, val_tbars, threshold, window,
+                  dist_thresh) -> dict:
+        """Held-out metrics: masked-BCE loss, voxel PR, optional obj PR."""
+        from flypylib_tpu.infer.tiled import infer_volume
+        from flypylib_tpu.ops.matching import obj_pr, voxel_pr
+        from flypylib_tpu.ops.nms import nms
+
+        v_img, v_lab, v_mask = val_data
+        variables = {"params": self.state.params}
+        if self.state.batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+        prob = infer_volume(self.spec, variables, np.asarray(v_img))
+        lab = np.asarray(v_lab, np.float32)
+        msk = np.asarray(v_mask, np.float32)
+        eps = 1e-7
+        p = np.clip(prob, eps, 1 - eps)
+        bce = -(lab * np.log(p) + (1 - lab) * np.log1p(-p))
+        out: dict = {
+            "val_loss": float(
+                (bce * msk).sum() / max(msk.sum(), 1.0)
+            )
+        }
+        vpr = voxel_pr(
+            prob, lab, msk, thresholds=np.asarray([threshold], np.float32)
+        )
+        out["val_voxel_precision"] = float(vpr["precision"][0])
+        out["val_voxel_recall"] = float(vpr["recall"][0])
+        if val_tbars is not None:
+            pred = nms(prob, window=window, threshold=threshold)
+            pr, rc = obj_pr(pred, val_tbars, dist_thresh=dist_thresh)
+            out["val_obj_precision"] = float(pr)
+            out["val_obj_recall"] = float(rc)
+        return out
 
     def save(self, path: str):
         import os

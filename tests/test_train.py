@@ -98,3 +98,41 @@ def test_uint8_image_training():
     tr = Trainer(small_spec(), cfg, seed=0)
     hist = tr.fit(img8, labels, mask, epochs=1)
     assert np.isfinite(hist[0]["loss"])
+
+
+def test_fit_validation_metrics(tmp_path):
+    """Held-out voxel/obj PR + val loss land in history and MetricsLog."""
+    from flypylib_tpu.utils.metrics import MetricsLog
+
+    image, labels, mask, tb = synthetic_task(size=32, n_pts=4, seed=0)
+    v_img, v_lab, v_mask, v_tb = synthetic_task(size=32, n_pts=4, seed=1)
+    spec = small_spec()
+    cfg = TrainConfig(patch_size=13, batch_size=8, steps_per_epoch=5,
+                      learning_rate=3e-3)
+    tr = Trainer(spec, cfg, seed=0)
+    log = MetricsLog(str(tmp_path / "metrics.jsonl"))
+    hist = tr.fit(
+        image, labels, mask, epochs=2,
+        val_data=(v_img, v_lab, v_mask), val_tbars=v_tb,
+        val_threshold=0.5, metrics_log=log,
+    )
+    for key in ("val_loss", "val_voxel_precision", "val_voxel_recall",
+                "val_obj_precision", "val_obj_recall"):
+        assert key in hist[0], key
+        assert np.isfinite(hist[0][key])
+    assert len(log.records) == 2
+    assert "val_loss" in log.records[0]
+
+
+def test_fit_val_every(tmp_path):
+    image, labels, mask, _ = synthetic_task(size=32, n_pts=3, seed=2)
+    spec = small_spec()
+    cfg = TrainConfig(patch_size=13, batch_size=4, steps_per_epoch=2)
+    tr = Trainer(spec, cfg, seed=0)
+    hist = tr.fit(
+        image, labels, mask, epochs=3,
+        val_data=(image, labels, mask), val_every=2,
+    )
+    assert "val_loss" in hist[0]
+    assert "val_loss" not in hist[1]
+    assert "val_loss" in hist[2]
