@@ -25,7 +25,12 @@ from flypylib_tpu.train.trainer import TrainConfig, Trainer
 
 class FplNetwork:
     def __init__(self, model="baseline", train_config: TrainConfig | None = None,
-                 seed: int = 0, **model_kwargs):
+                 seed: int = 0, packed: bool | str = "auto", **model_kwargs):
+        """``packed`` selects the space-to-depth inference engine
+        (ops/packed_conv) for the infer/detect verbs: ``"auto"`` uses it
+        whenever the model supports it (ConvStack zoo entries), ``True``
+        requires it, ``False`` runs the plain Flax path.  Training always
+        uses the plain module; both share one params tree."""
         if isinstance(model, ModelSpec):
             spec = model
         elif callable(model):
@@ -34,6 +39,17 @@ class FplNetwork:
             spec = MODEL_ZOO[model](**model_kwargs)
         self.spec = spec
         self.context = spec.context
+        self.infer_spec = spec
+        if packed:
+            from flypylib_tpu.ops.packed_conv import packed_spec
+
+            pspec = packed_spec(spec)
+            if pspec is None and packed is True:
+                raise ValueError(
+                    f"model {spec.name!r} does not support the packed "
+                    "inference engine"
+                )
+            self.infer_spec = pspec or spec
         self.trainer = Trainer(spec, train_config, seed=seed)
         self._tiled: TiledInference | None = None
         self._tiled_key = None
@@ -48,6 +64,7 @@ class FplNetwork:
         epochs: int = 1,
         radius: float = 5.0,
         callback=None,
+        **fit_kwargs,
     ):
         """Train on one labeled cutout or a LIST of them (parity: flypylib
         trained over lists of labeled cubes).
@@ -77,7 +94,7 @@ class FplNetwork:
             else:
                 mask = list(mask) if is_multi else [mask]
         history = self.trainer.fit(images, labels, mask, epochs=epochs,
-                                   callback=callback)
+                                   callback=callback, **fit_kwargs)
         self._tiled = None  # params changed; rebuild inference wrapper lazily
         return history
 
@@ -104,7 +121,7 @@ class FplNetwork:
         key = (tile_out, tile_batch)
         if self._tiled is None or self._tiled_key != key:
             self._tiled = TiledInference(
-                self.spec, self.variables, tile_out=tile_out,
+                self.infer_spec, self.variables, tile_out=tile_out,
                 tile_batch=tile_batch,
             )
             self._tiled_key = key

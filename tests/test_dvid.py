@@ -92,3 +92,80 @@ def test_post_annotations(mock_server):
     el = mock.posted[0][0]
     assert el["Kind"] == "PreSyn"
     assert el["Pos"] == [7, 6, 5]
+
+
+class FlakyDVID(MockDVID):
+    """First two requests 503, then defer to the real handlers."""
+
+    failures = [2]
+
+    def _maybe_fail(self):
+        if FlakyDVID.failures[0] > 0:
+            FlakyDVID.failures[0] -= 1
+            self.send_response(503)
+            self.end_headers()
+            return True
+        return False
+
+    def do_GET(self):
+        if not self._maybe_fail():
+            super().do_GET()
+
+    def do_POST(self):
+        if not self._maybe_fail():
+            super().do_POST()
+
+
+@pytest.fixture
+def flaky_server():
+    rng = np.random.default_rng(1)
+    FlakyDVID.volume = rng.integers(0, 256, (8, 8, 8)).astype(np.uint8)
+    FlakyDVID.posted = []
+    FlakyDVID.failures = [2]
+    srv = HTTPServer(("127.0.0.1", 0), FlakyDVID)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"127.0.0.1:{srv.server_port}", FlakyDVID
+    srv.shutdown()
+
+
+def test_retry_on_transient_5xx(flaky_server):
+    addr, mock = flaky_server
+    client = DVIDClient(addr, "abc123", retries=3, backoff=0.01)
+    cut = client.get_gray3d("grayscale", size=(4, 4, 4), offset=(0, 0, 0))
+    np.testing.assert_array_equal(cut, mock.volume[:4, :4, :4])
+
+
+def test_no_retry_on_permanent_404(mock_server):
+    import urllib.error
+
+    addr, _ = mock_server
+    client = DVIDClient(addr, "abc123", retries=3, backoff=0.01)
+    with pytest.raises(urllib.error.HTTPError):
+        client._get(client._url("nope", "bogus/endpoint"))
+
+
+class GzipDVID(MockDVID):
+    def do_GET(self):
+        import gzip as _gz
+
+        els = [{"Kind": "PreSyn", "Pos": [1, 1, 1], "Prop": {"conf": "0.5"}}]
+        data = _gz.compress(json.dumps(els).encode())
+        self.send_response(200)
+        self.send_header("Content-Encoding", "gzip")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+
+def test_gzip_transfer():
+    srv = HTTPServer(("127.0.0.1", 0), GzipDVID)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        client = DVIDClient(f"127.0.0.1:{srv.server_port}", "abc123")
+        tb = client.get_annotations("synapses", size=(8, 8, 8),
+                                    offset=(0, 0, 0))
+        assert len(tb) == 1 and tb.conf[0] == 0.5
+    finally:
+        srv.shutdown()
