@@ -153,7 +153,7 @@ def bench_streaming_1k(size: int = 1024):
     # retries on saturation, so a small per-ROI top-k stays safe (large
     # static top_k is a pathological compile — CLAUDE.md)
     det = detect_streaming(
-        pspec, variables, shape, read, core=256, tile_out=256,
+        pspec, variables, shape, read, core=256,
         window=5, threshold=thr, max_detections_per_roi=8192,
     )
     dt = time.perf_counter() - t0

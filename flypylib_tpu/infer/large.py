@@ -70,7 +70,7 @@ def detect_streaming(
     shape,
     read_fn,
     core: int = 128,
-    tile_out: int = 128,
+    tile_out: int | None = None,
     window=5,
     threshold: float = 0.5,
     max_detections_per_roi: int = 4096,
@@ -84,6 +84,12 @@ def detect_streaming(
     ``method`` is ``"nms"`` (local-maximum candidates), ``"components"``
     (seam-merged connected-component centroids), or ``"both"`` (returns a
     ``(nms, components)`` tuple).
+
+    ``tile_out=None`` (default) covers each fetched ROI in ONE
+    fully-convolutional tile — a tile smaller than the ROI extent makes
+    the static tile grid overshoot (e.g. a 272-wide ROI under 256-wide
+    tiles runs 8 tiles of 268^3: 4.6x redundant conv FLOPs); pass a
+    smaller ``tile_out`` only when one ROI tile exceeds HBM.
     """
     if method not in ("nms", "components", "both"):
         raise ValueError(f"unknown method {method!r}")
@@ -103,10 +109,12 @@ def detect_streaming(
         list(range(0, s, c)) for s, c in zip(shape, core_dims)
     ]
 
+    roi_extent = max(core_dims) + 2 * h
     pipe = DetectPipeline(
         spec, variables,
         vol_shape=tuple(c + 2 * h for c in core_dims),
-        tile_out=min(tile_out, max(core_dims) + 2 * h),
+        tile_out=roi_extent if tile_out is None
+        else min(tile_out, roi_extent),
         window=window, threshold=threshold,
         max_detections=max_detections_per_roi,
         run_cc=False, pre_padded=True,
@@ -151,82 +159,111 @@ def detect_streaming(
     cc_rois: dict[tuple, dict] = {}
     K = max_components_per_roi
 
-    for iz, z0 in enumerate(starts[0]):
-        for iy, y0 in enumerate(starts[1]):
-            for ix, x0 in enumerate(starts[2]):
-                corner = (z0, y0, x0)
-                lo_want = [c - fetch_halo for c in corner]
-                hi_want = [
-                    c + cd + fetch_halo for c, cd in zip(corner, core_dims)
-                ]
-                lo = [max(0, v) for v in lo_want]
-                hi = [min(s, v) for s, v in zip(shape, hi_want)]
-                block = np.asarray(read_fn(lo, hi))
-                # ONE reflect pad continues the volume past its faces —
-                # identical to a monolithic run's face padding
-                pads = [
-                    (l - lw, hw - hh)
-                    for l, lw, hw, hh in zip(lo, lo_want, hi_want, hi)
-                ]
-                block = np.pad(block, pads, mode="reflect")
-                # prob-region coords of the true-volume box: voxels outside
-                # are masked to -inf (monolithic boundary semantics)
-                region0 = [v + ctx for v in lo_want]
-                vlo = [max(0, -r0) for r0 in region0]
-                vhi = [
-                    min(cd + 2 * h, s - r0)
-                    for cd, s, r0 in zip(core_dims, shape, region0)
-                ]
-                out = pipe.forward(block)
-                n_own = 0
-                if want_nms:
-                    # DetectPipeline grows its top-k and retries on
-                    # saturation, so the per-ROI list is always complete
-                    nms_det, _ = pipe.postprocess(out, vlo, vhi)
-                    # local coords are relative to lo_want; prob index 0
-                    # is at global lo_want + ctx
-                    glob = nms_det.locs + np.asarray(
-                        [v + ctx for v in lo_want], np.float64
+    grid = [
+        ((iz, iy, ix), (z0, y0, x0))
+        for iz, z0 in enumerate(starts[0])
+        for iy, y0 in enumerate(starts[1])
+        for ix, x0 in enumerate(starts[2])
+    ]
+
+    def prep(corner):
+        """Fetch + reflect-pad one ROI block (host work, prefetchable)."""
+        lo_want = [c - fetch_halo for c in corner]
+        hi_want = [
+            c + cd + fetch_halo for c, cd in zip(corner, core_dims)
+        ]
+        lo = [max(0, v) for v in lo_want]
+        hi = [min(s, v) for s, v in zip(shape, hi_want)]
+        block = np.asarray(read_fn(lo, hi))
+        # ONE reflect pad continues the volume past its faces —
+        # identical to a monolithic run's face padding
+        pads = [
+            (l - lw, hw - hh)
+            for l, lw, hw, hh in zip(lo, lo_want, hi_want, hi)
+        ]
+        block = np.pad(block, pads, mode="reflect")
+        # prob-region coords of the true-volume box: voxels outside are
+        # masked to -inf (monolithic boundary semantics)
+        region0 = [v + ctx for v in lo_want]
+        vlo = [max(0, -r0) for r0 in region0]
+        vhi = [
+            min(cd + 2 * h, s - r0)
+            for cd, s, r0 in zip(core_dims, shape, region0)
+        ]
+        return block, lo_want, vlo, vhi
+
+    # prefetch thread: the next ROI's disk read + pad rides under the
+    # current ROI's device time
+    import queue as _queue
+    import threading
+
+    fetched: _queue.Queue = _queue.Queue(maxsize=2)
+
+    def producer():
+        for key, corner in grid:
+            try:
+                fetched.put((key, corner, prep(corner), None))
+            except Exception as e:  # surface on the consumer side
+                fetched.put((key, corner, None, e))
+                return
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    for _ in grid:
+        (iz, iy, ix), corner, prepped, err = fetched.get()
+        if err is not None:
+            raise RuntimeError(
+                f"ROI {corner}: fetch failed"
+            ) from err
+        block, lo_want, vlo, vhi = prepped
+        out = pipe.forward(block)
+        n_own = 0
+        if want_nms:
+            # DetectPipeline grows its top-k and retries on saturation,
+            # so the per-ROI list is always complete
+            nms_det, _ = pipe.postprocess(out, vlo, vhi)
+            # local coords are relative to lo_want; prob index 0 is at
+            # global lo_want + ctx
+            glob = nms_det.locs + np.asarray(
+                [v + ctx for v in lo_want], np.float64
+            )
+            own = np.all(
+                (glob >= np.asarray(corner))
+                & (
+                    glob
+                    < np.minimum(
+                        np.asarray(corner) + core_dims, np.asarray(shape)
                     )
-                    own = np.all(
-                        (glob >= np.asarray(corner))
-                        & (
-                            glob
-                            < np.minimum(
-                                np.asarray(corner) + core_dims,
-                                np.asarray(shape),
-                            )
-                        ),
-                        axis=1,
-                    )
-                    all_locs.append(glob[own])
-                    all_conf.append(nms_det.conf[own])
-                    n_own = int(own.sum())
-                if want_cc:
-                    lo_j = jnp.asarray(vlo, jnp.int32)
-                    hi_j = jnp.asarray(vhi, jnp.int32)
-                    while True:
-                        uniq, sums, count, conf, valid, over, faces = (
-                            cc_fn(K)(out, lo_j, hi_j,
-                                     jnp.float32(threshold))
-                        )
-                        if not bool(over):
-                            break
-                        K *= 4  # grow-and-retry; later ROIs reuse the size
-                    sums = np.asarray(sums, np.float64)
-                    count = np.asarray(count, np.float64)
-                    # globalize coordinate sums by the core's corner
-                    sums += np.asarray(corner, np.float64) * count[:, None]
-                    cc_rois[(iz, iy, ix)] = {
-                        "uniq": np.asarray(uniq),
-                        "sums": sums,
-                        "count": count,
-                        "conf": np.asarray(conf),
-                        "valid": np.asarray(valid),
-                        "faces": [np.asarray(f) for f in faces],
-                    }
-                if progress:
-                    progress(corner, n_own)
+                ),
+                axis=1,
+            )
+            all_locs.append(glob[own])
+            all_conf.append(nms_det.conf[own])
+            n_own = int(own.sum())
+        if want_cc:
+            lo_j = jnp.asarray(vlo, jnp.int32)
+            hi_j = jnp.asarray(vhi, jnp.int32)
+            while True:
+                uniq, sums, count, conf, valid, over, faces = (
+                    cc_fn(K)(out, lo_j, hi_j, jnp.float32(threshold))
+                )
+                if not bool(over):
+                    break
+                K *= 4  # grow-and-retry; later ROIs reuse the size
+            sums = np.asarray(sums, np.float64)
+            count = np.asarray(count, np.float64)
+            # globalize coordinate sums by the core's corner
+            sums += np.asarray(corner, np.float64) * count[:, None]
+            cc_rois[(iz, iy, ix)] = {
+                "uniq": np.asarray(uniq),
+                "sums": sums,
+                "count": count,
+                "conf": np.asarray(conf),
+                "valid": np.asarray(valid),
+                "faces": [np.asarray(f) for f in faces],
+            }
+        if progress:
+            progress(corner, n_own)
 
     results = []
     if want_nms:
