@@ -20,6 +20,7 @@ from flypylib_tpu.infer import DetectPipeline, grid_rois, stream_rois
 from flypylib_tpu.infer.roi_queue import dvid_source
 from flypylib_tpu.io.dvid import DVIDClient
 from flypylib_tpu.models.zoo import baseline_model
+from flypylib_tpu.ops.packed_conv import packed_spec
 from flypylib_tpu.utils.metrics import MetricsLog
 
 
@@ -36,7 +37,7 @@ def main():
 
     print(f"devices: {jax.devices()}")
 
-    spec = baseline_model()
+    spec = packed_spec(baseline_model())  # MXU-filling fast path
     variables = spec.init(jax.random.PRNGKey(0), 64)
     roi_shape = (args.roi,) * 3
     pipe = DetectPipeline(

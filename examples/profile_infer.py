@@ -16,6 +16,7 @@ import numpy as np
 
 from flypylib_tpu.infer.pipeline import DetectPipeline
 from flypylib_tpu.models.zoo import baseline_model
+from flypylib_tpu.ops.packed_conv import packed_spec
 from flypylib_tpu.utils.metrics import StageTimer, profile_trace
 
 
@@ -28,7 +29,7 @@ def main():
     import jax
 
     print(f"devices: {jax.devices()}")
-    spec = baseline_model()
+    spec = packed_spec(baseline_model())  # MXU-filling fast path
     variables = spec.init(jax.random.PRNGKey(0), 64)
     rng = np.random.default_rng(0)
     vol = rng.integers(0, 256, (args.size,) * 3).astype(np.uint8)

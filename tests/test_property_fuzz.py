@@ -42,3 +42,69 @@ def test_components_fuzz(vol_s):
     host = components_host(vol, threshold=thr)
     dev = label_components(vol, threshold=thr, max_components=64)
     assert_same_detections(host, dev, loc_tol=1e-3)
+
+
+@settings(max_examples=8, deadline=None)
+@given(vol_s=volumes, nz=st.sampled_from([2, 4]), ny=st.sampled_from([1, 2]))
+def test_sharded_components_2d_fuzz(vol_s, nz, ny):
+    """Seam-merged sharded CC == scipy label for arbitrary shard grids."""
+    from flypylib_tpu.parallel import make_mesh_2d
+    from flypylib_tpu.parallel.halo import sharded_components
+
+    vol, sparsity = vol_s
+    thr = float(np.quantile(vol, max(sparsity, 0.7)))
+    mesh = make_mesh_2d((nz, ny), axes=("spacez", "spacey"))
+    host = components_host(vol, threshold=thr)
+    dev = sharded_components(
+        vol, mesh, axis=("spacez", "spacey"), threshold=thr,
+        max_components=256,
+    )
+    assert_same_detections(host, dev, loc_tol=1e-3)
+
+
+@settings(max_examples=6, deadline=None)
+@given(vol_s=volumes, nz=st.sampled_from([2, 4]), ny=st.sampled_from([1, 2]),
+       window=st.sampled_from([3, 5]))
+def test_sharded_nms_2d_fuzz(vol_s, nz, ny, window):
+    from flypylib_tpu.parallel import make_mesh_2d
+    from flypylib_tpu.parallel.halo import sharded_nms
+
+    vol, sparsity = vol_s
+    thr = float(np.quantile(vol, sparsity))
+    mesh = make_mesh_2d((nz, ny), axes=("spacez", "spacey"))
+    host = nms_host(vol, window=window, threshold=thr)
+    dev = sharded_nms(vol, mesh, axis=("spacez", "spacey"),
+                      window=window, threshold=thr, max_per_shard=512)
+    assert_same_detections(host, dev)
+
+
+@settings(max_examples=6, deadline=None)
+@given(vol_s=volumes, core=st.sampled_from([6, 9, 13]))
+def test_streaming_components_fuzz(vol_s, core):
+    """Chunked streaming CC == scipy label for arbitrary core grids,
+    straight on probability volumes (identity 'model')."""
+    from flypylib_tpu.infer.large import array_reader, detect_streaming
+    from flypylib_tpu.models.zoo import baseline_model
+
+    # a 0-context identity model is not in the zoo; drive the real path
+    # with the smallest conv stack instead (context 1)
+    import jax
+    import jax.numpy as jnp
+
+    vol, sparsity = vol_s
+    if min(vol.shape) < 8:
+        return
+    spec = baseline_model(features=(2,), dilations=(1,), head_features=2,
+                          dtype=jnp.float32)
+    variables = spec.init(jax.random.PRNGKey(0), 8)
+    from tests.test_pipeline import reference_prob
+
+    prob = reference_prob(spec, variables, vol)
+    thr = float(np.quantile(prob, max(sparsity, 0.7)))
+    host = components_host(prob, threshold=thr)
+    shape, read = array_reader(vol)
+    dev = detect_streaming(
+        spec, variables, shape, read, core=core,
+        threshold=thr, method="components", max_components_per_roi=256,
+    )
+    assert_same_detections(host, dev, loc_tol=1e-3)
