@@ -244,8 +244,12 @@ def detect_streaming(
             lo_j = jnp.asarray(vlo, jnp.int32)
             hi_j = jnp.asarray(vhi, jnp.int32)
             while True:
+                # ONE bulk device->host transfer per ROI (each array
+                # would otherwise cost a tunnel roundtrip)
                 uniq, sums, count, conf, valid, over, faces = (
-                    cc_fn(K)(out, lo_j, hi_j, jnp.float32(threshold))
+                    jax.device_get(
+                        cc_fn(K)(out, lo_j, hi_j, jnp.float32(threshold))
+                    )
                 )
                 if not bool(over):
                     break
@@ -255,12 +259,12 @@ def detect_streaming(
             # globalize coordinate sums by the core's corner
             sums += np.asarray(corner, np.float64) * count[:, None]
             cc_rois[(iz, iy, ix)] = {
-                "uniq": np.asarray(uniq),
+                "uniq": uniq,
                 "sums": sums,
                 "count": count,
-                "conf": np.asarray(conf),
-                "valid": np.asarray(valid),
-                "faces": [np.asarray(f) for f in faces],
+                "conf": conf,
+                "valid": valid,
+                "faces": list(faces),
             }
         if progress:
             progress(corner, n_own)

@@ -35,13 +35,21 @@ from flypylib_tpu.ops.nms import candidate_mask
 from flypylib_tpu.utils import ceil_div, to3d
 
 
-def _extract_topk(prob, mask, max_detections):
-    flat = jnp.where(mask.reshape(-1), prob.reshape(-1), -jnp.inf)
-    conf, idx = lax.top_k(flat, max_detections)
-    valid = conf > -jnp.inf
+def _extract_candidates(prob, mask, max_detections):
+    """First-k candidates in flat-index order via cumsum compaction —
+    ~2.5x cheaper than a full-volume lax.top_k at 256^3 (the caller
+    grows-and-retries on saturation, so completeness doesn't depend on
+    confidence ordering; the host sorts the tiny result canonically)."""
+    from flypylib_tpu.ops.components import compact_true_indices
+
+    n = prob.size
+    idx = compact_true_indices(mask.reshape(-1), max_detections)
+    valid = idx < n
+    safe = jnp.minimum(idx, n - 1)
+    conf = jnp.where(valid, prob.reshape(-1)[safe], -jnp.inf)
     shape = prob.shape
-    z = idx // (shape[1] * shape[2])
-    rem = idx % (shape[1] * shape[2])
+    z = safe // (shape[1] * shape[2])
+    rem = safe % (shape[1] * shape[2])
     locs = jnp.stack([z, rem // shape[2], rem % shape[2]], axis=1)
     return locs.astype(jnp.int32), conf, valid
 
@@ -196,7 +204,7 @@ class DetectPipeline:
                 else:
                     thr = threshold  # traced: sweeps don't recompile
                 mask = candidate_mask(prob, self.window, thr)
-                nms_out = _extract_topk(prob, mask, k_det)
+                nms_out = _extract_candidates(prob, mask, k_det)
                 if run_cc:
                     cc_out = components_device(
                         prob, threshold=thr, max_components=k_comp
@@ -282,10 +290,13 @@ class DetectPipeline:
         )
         k_det, k_comp = self.max_detections, self.max_components
         while True:
-            (locs, conf, valid), cc, n_inb = self._post_for(k_det, k_comp)(
+            res = self._post_for(k_det, k_comp)(
                 out, lo, hi, jnp.float32(self.threshold)
             )
-            valid = np.asarray(valid)
+            # ONE bulk device->host transfer: each np.asarray through the
+            # tunnel costs a ~28 ms roundtrip, and there are ~8 result
+            # arrays
+            (locs, conf, valid), cc, n_inb = jax.device_get(res)
             n = int(valid.sum())
             n_inb = int(n_inb)
             # saturation: every slot valid and more in-bounds voxels exist
@@ -293,21 +304,19 @@ class DetectPipeline:
             if n == k_det and k_det < n_inb:
                 k_det = min(k_det * 4, n_inb)
                 continue
-            if cc is not None and bool(np.asarray(cc[3]).any()):
+            if cc is not None and bool(cc[3].any()):
                 k_comp *= 4
                 continue
             break
-        nms_det = Tbars(
-            locs=np.asarray(locs)[:n].astype(np.float64),
-            conf=np.asarray(conf)[:n],
+        # candidates arrive in flat-index order; canonicalize (conf desc,
+        # z/y/x asc) on host — the list is tiny
+        nms_det = sort_detections(
+            locs[:n].astype(np.float64), conf[:n]
         )
         cc_det = None
         if cc is not None:
             cents, cconf, cvalid, _ = cc
-            cvalid = np.asarray(cvalid)
-            cc_det = sort_detections(
-                np.asarray(cents)[cvalid], np.asarray(cconf)[cvalid]
-            )
+            cc_det = sort_detections(cents[cvalid], cconf[cvalid])
         return nms_det, cc_det
 
     def __call__(self, volume: np.ndarray, valid_lo=None, valid_hi=None):

@@ -33,6 +33,23 @@ from flypylib_tpu.io.synapses import Tbars
 from flypylib_tpu.ops.host_reference import sort_detections
 
 
+def compact_true_indices(mask_flat: jax.Array, size: int) -> jax.Array:
+    """First ``size`` True positions, ascending, padded with ``n``.
+
+    Drop-in for ``jnp.nonzero(mask, size=..., fill_value=n)[0]`` — but via
+    cumsum + searchsorted instead of XLA's nonzero lowering, which
+    scatter-compacts the full volume (measured 150 ms vs 15 ms at 256^3
+    on v5e; experiments/post_profile.py).  The j-th candidate's flat
+    index is the first position where the running count reaches j, and
+    queries past the total count fall off the end == the fill value.
+    """
+    n = mask_flat.shape[0]
+    pos = jnp.cumsum(mask_flat.astype(jnp.int32))
+    return jnp.searchsorted(
+        pos, jnp.arange(1, size + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+
+
 def _neighbor_min(lab: jax.Array, mask: jax.Array, sentinel) -> jax.Array:
     """Min of label over the 6-neighborhood (self included), masked."""
     out = lab
@@ -105,9 +122,7 @@ def cc_label_and_extract(
     n_cand = jnp.sum(mflat, dtype=jnp.int32)
 
     # compact: indices of candidate voxels (padded with n)
-    cand = jnp.nonzero(mflat, size=max_candidates, fill_value=n)[0].astype(
-        jnp.int32
-    )
+    cand = compact_true_indices(mflat, max_candidates)
     valid_c = cand < n
     safe = jnp.minimum(cand, n - 1)
     roots_c = jnp.where(valid_c, roots[safe], sentinel)

@@ -307,8 +307,7 @@ def sharded_nms(
         locs = jnp.stack([z, y, rem % vx], axis=1).astype(jnp.int32)
         return locs, conf, valid
 
-    locs, conf, valid = jax.jit(fn)(prob)
-    locs, conf, valid = (np.asarray(locs), np.asarray(conf), np.asarray(valid))
+    locs, conf, valid = jax.device_get(jax.jit(fn)(prob))  # one transfer
     n_shards = nz * ny
     if (
         max_per_shard < sz * sy * vx
@@ -389,7 +388,7 @@ def sharded_components(
             lab[0], lab[sz - 1], lab[:, 0], lab[:, sy - 1],
         )
 
-    res = jax.jit(fn)(prob)
+    res = jax.device_get(jax.jit(fn)(prob))  # one transfer
     uniq, sums, count, conf, valid, over, zlo, zhi, ylo, yhi = res
     if bool(np.asarray(over).any()):
         return sharded_components(
