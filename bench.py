@@ -12,8 +12,11 @@ Three throughputs are reported (round-2 judge contract):
 - ``device_resident_mvox_s``: same work with the volume pre-staged in
   HBM — the chip's real number, wire excluded (eval "device-resident"
   config; the 38 MB/s tunnel otherwise caps everything).
-- ``streaming_1k_mvox_s``: 1024^3 out-of-core streaming end-to-end via
-  infer/large.py (eval config 2, BASELINE.json:8).
+- ``streaming_1k_mvox_s``: 1024^3 whole-volume detection end-to-end
+  (one uint8 HBM staging upload + device-sliced ROI sweep via
+  infer/large.detect_staged; eval config 2, BASELINE.json:8), with
+  ``device_resident_1k_mvox_s`` as its chip-bound (wire-excluded) half —
+  the north-star per-chip number at 1k^3 [B:5].
 
 ``vs_baseline`` is the speedup over the CPU reference path
 (flypylib-equivalent: jax-CPU conv forward + scipy NMS/CC on host,
@@ -129,11 +132,22 @@ def bench_tpu(size: int = 256, tile_out: int = 128, tile_batch: int = 4):
     }
 
 
-def bench_streaming_1k(size: int = 1024):
-    """Eval config 2 [B:8]: out-of-core 1k^3 end-to-end streaming NMS."""
+def bench_staged_1k(size: int = 1024, core: int = 256):
+    """Eval config 2 [B:8] / north star [B:5]: 1k^3 whole-volume detection.
+
+    The volume is staged in HBM ONCE (uint8 — the single wire transfer),
+    then every ROI block is sliced device-to-device
+    (infer/large.detect_staged).  Reports the end-to-end number (upload +
+    detect) and the chip-bound number (detect only — the wire-independent
+    per-chip throughput the north star targets).
+    """
     import jax
 
-    from flypylib_tpu.infer.large import array_reader, detect_streaming
+    from flypylib_tpu.infer.large import (
+        detect_staged,
+        make_stream_plan,
+        stage_volume,
+    )
     from flypylib_tpu.infer.tiled import infer_volume
 
     pspec, variables = _flagship()
@@ -142,24 +156,38 @@ def bench_streaming_1k(size: int = 1024):
     # pick the operating threshold from a small probe cutout (untrained
     # net: a quantile keeps candidate counts realistic)
     probe = infer_volume(
-        pspec, variables, vol[:128, :128, :128].astype(np.float32) / 255.0,
-        tile_out=128,
+        pspec, variables,
+        vol[:128, :128, :128].astype(np.float32) / 255.0, tile_out=128,
     )
     thr = float(np.quantile(probe, 0.9999))
 
-    shape, read = array_reader(vol)
+    common = dict(window=5, threshold=thr, max_detections_per_roi=8192)
+    plan = make_stream_plan(pspec, variables, vol.shape, core=core,
+                            **common)
+
     t0 = time.perf_counter()
-    # ~1.6k candidates/ROI at this quantile; the pipeline grows-and-
-    # retries on saturation, so a small per-ROI top-k stays safe (large
-    # static top_k is a pathological compile — CLAUDE.md)
-    det = detect_streaming(
-        pspec, variables, shape, read, core=256,
-        window=5, threshold=thr, max_detections_per_roi=8192,
-    )
+    staged = stage_volume(vol, plan=plan)
+    # block_until_ready doesn't truly block through the tunnel: force a
+    # value transfer (CLAUDE.md)
+    np.asarray(jax.device_get(staged[0][:1, :1, :1]))
+    t_up = time.perf_counter() - t0
+
+    # compile warm-up: one ROI through the shared plan
+    grid = plan.grid
+    plan.grid = grid[:1]
+    detect_staged(pspec, variables, vol, staged=staged, plan=plan,
+                  **common)
+    plan.grid = grid
+
+    t0 = time.perf_counter()
+    det = detect_staged(pspec, variables, vol, staged=staged, plan=plan,
+                        **common)
     dt = time.perf_counter() - t0
     return {
-        "streaming_1k_mvox_s": vol.size / dt / 1e6,
-        "streaming_1k_seconds": dt,
+        "streaming_1k_mvox_s": vol.size / (t_up + dt) / 1e6,
+        "device_resident_1k_mvox_s": vol.size / dt / 1e6,
+        "staged_1k_upload_seconds": t_up,
+        "device_resident_1k_seconds": dt,
         "streaming_1k_detections": len(det),
     }
 
@@ -216,7 +244,7 @@ def main():
     info = bench_tpu(size=size)
     value = info.pop("value")
     try:
-        stream = bench_streaming_1k()
+        stream = bench_staged_1k()
     except Exception as e:  # keep the headline alive on OOM etc.
         stream = {"streaming_1k_error": str(e)[:200]}
     try:

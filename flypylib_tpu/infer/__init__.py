@@ -10,9 +10,12 @@ from flypylib_tpu.infer.roi_queue import (
 )
 from flypylib_tpu.infer.large import (
     detect_h5,
+    detect_staged,
     detect_streaming,
     h5_reader,
     array_reader,
+    make_stream_plan,
+    stage_volume,
 )
 
 __all__ = [
@@ -26,7 +29,10 @@ __all__ = [
     "dvid_source",
     "dvid_sink",
     "detect_h5",
+    "detect_staged",
     "detect_streaming",
     "h5_reader",
     "array_reader",
+    "make_stream_plan",
+    "stage_volume",
 ]

@@ -1,7 +1,19 @@
-"""Out-of-core whole-volume detection (HDF5 / any chunk-readable source).
+"""Out-of-core / HBM-resident whole-volume detection.
 
-For volumes too large for host RAM or HBM, detection runs ROI-by-ROI with
-*exact* whole-volume semantics:
+Detection over volumes of any size runs ROI-by-ROI with *exact*
+whole-volume semantics.  Two transports share one plan/postprocess engine
+(:class:`_StreamPlan`):
+
+- :func:`detect_streaming` — out-of-core: ROI blocks are read on the host
+  (HDF5 / DVID / any ``read_fn``) with a prefetch thread, bounded host and
+  device memory;
+- :func:`detect_staged` — HBM-resident: the whole volume is staged on
+  device once (uint8 on the wire) and ROI blocks are sliced
+  device-to-device, so the steady state never touches the host wire (the
+  chip-bound 1k^3 north-star mode [B:5][B:8]).
+
+Both are pipelined with lag 1: ROI *i*+1's forward is dispatched before
+ROI *i*'s postprocess transfer blocks the host.  Semantics:
 
 - **NMS**: each core ROI is fetched with a halo of ``context + window//2``
   true neighbor voxels (so every probability value a core voxel's NMS
@@ -24,7 +36,7 @@ For volumes too large for host RAM or HBM, detection runs ROI-by-ROI with
 
 from __future__ import annotations
 
-import functools
+
 
 import jax
 import jax.numpy as jnp
@@ -64,69 +76,109 @@ def array_reader(vol: np.ndarray):
     return vol.shape, read
 
 
-def detect_streaming(
-    spec: ModelSpec,
-    variables,
-    shape,
-    read_fn,
-    core: int = 128,
-    tile_out: int | None = None,
-    window=5,
-    threshold: float = 0.5,
-    max_detections_per_roi: int = 4096,
-    max_components_per_roi: int = 4096,
-    method: str = "nms",
-    progress=None,
-):
-    """Exact streaming detection over an arbitrarily large volume.
+def _default_tile(extent: int, spec: ModelSpec, cap: int = 176) -> int:
+    """Default streaming tile: the largest divisor of the ROI extent
+    <= ``cap`` that keeps tile starts packing-phase aligned.
 
-    ``shape``/``read_fn`` typically come from :func:`h5_reader`.
-    ``method`` is ``"nms"`` (local-maximum candidates), ``"components"``
-    (seam-merged connected-component centroids), or ``"both"`` (returns a
-    ``(nms, components)`` tuple).
+    A divisor means the static tile grid covers the ROI exactly (no
+    overshoot -> no redundant conv FLOPs); the cap bounds per-tile
+    activation memory — XLA materializes conv input patches, so one
+    monolithic 284^3 ROI tile transiently needs ~8 GB and OOMs a 16 GB
+    chip, while 2x2x2 tiles of 136 fit comfortably."""
+    if extent <= cap:
+        return extent
+    mult = max(spec.size_multiple, 1)
+    for d in range(cap, 63, -1):
+        if extent % d == 0 and d % mult == 0 and spec.is_valid_size(
+            d + 2 * spec.context
+        ):
+            return d
+    return extent
 
-    ``tile_out=None`` (default) covers each fetched ROI in ONE
-    fully-convolutional tile — a tile smaller than the ROI extent makes
-    the static tile grid overshoot (e.g. a 272-wide ROI under 256-wide
-    tiles runs 8 tiles of 268^3: 4.6x redundant conv FLOPs); pass a
-    smaller ``tile_out`` only when one ROI tile exceeds HBM.
-    """
-    if method not in ("nms", "components", "both"):
-        raise ValueError(f"unknown method {method!r}")
-    want_nms = method in ("nms", "both")
-    want_cc = method in ("components", "both")
 
-    shape = to3d(shape)
-    win = to3d(window)
-    ctx = spec.context
-    h = ctx + (max(win) // 2 if want_nms else 0)
-    h = max(h, ctx)  # CC needs at least the conv context halo
-    fetch_halo = h + ctx  # plus the conv context for the halo's own probs
+class _StreamPlan:
+    """Shared geometry + per-ROI postprocess/merge engine for the
+    streaming paths (host-read :func:`detect_streaming` and HBM-resident
+    :func:`detect_staged` — identical semantics, different block
+    transport)."""
 
-    core_dims = [min(core, s) for s in shape]
-    # ownership partition: non-overlapping cores covering the volume
-    starts = [
-        list(range(0, s, c)) for s, c in zip(shape, core_dims)
-    ]
+    def __init__(
+        self,
+        spec: ModelSpec,
+        variables,
+        shape,
+        core: int,
+        tile_out: int | None,
+        window,
+        threshold: float,
+        max_detections_per_roi: int,
+        max_components_per_roi: int,
+        method: str,
+    ):
+        if method not in ("nms", "components", "both"):
+            raise ValueError(f"unknown method {method!r}")
+        self.want_nms = method in ("nms", "both")
+        self.want_cc = method in ("components", "both")
+        self.method = method
+        self.threshold = threshold
 
-    roi_extent = max(core_dims) + 2 * h
-    pipe = DetectPipeline(
-        spec, variables,
-        vol_shape=tuple(c + 2 * h for c in core_dims),
-        tile_out=roi_extent if tile_out is None
-        else min(tile_out, roi_extent),
-        window=window, threshold=threshold,
-        max_detections=max_detections_per_roi,
-        run_cc=False, pre_padded=True,
-    )
+        self.shape = shape = to3d(shape)
+        self.window = win = to3d(window)
+        ctx = spec.context
+        h = ctx + (max(win) // 2 if self.want_nms else 0)
+        h = max(h, ctx)  # CC needs at least the conv context halo
+        self.ctx, self.h = ctx, h
+        # plus the conv context for the halo's own probs
+        self.fetch_halo = h + ctx
 
-    cz, cy, cx = core_dims
-    core_nvox = cz * cy * cx
-    vz, vy, vx = pipe.vol_shape
+        self.core_dims = [min(core, s) for s in shape]
+        # ownership partition: non-overlapping cores covering the volume
+        starts = [
+            list(range(0, s, c)) for s, c in zip(shape, self.core_dims)
+        ]
+        self.grid = [
+            ((iz, iy, ix), (z0, y0, x0))
+            for iz, z0 in enumerate(starts[0])
+            for iy, y0 in enumerate(starts[1])
+            for ix, x0 in enumerate(starts[2])
+        ]
 
-    @functools.lru_cache(maxsize=8)
-    def cc_fn(K: int):
+        roi_extent = max(self.core_dims) + 2 * h
+        if tile_out is None:
+            tile_out = _default_tile(roi_extent, spec)
+        self.pipe = DetectPipeline(
+            spec, variables,
+            vol_shape=tuple(c + 2 * h for c in self.core_dims),
+            tile_out=min(tile_out, roi_extent),
+            window=window, threshold=threshold,
+            max_detections=max_detections_per_roi,
+            run_cc=False, pre_padded=True,
+        )
+        self.K = max_components_per_roi
+
+    def region(self, corner):
+        """(lo_want, vlo, vhi) for an ROI corner: the wanted fetch box and
+        the prob-region coords of the true-volume box (voxels outside are
+        masked to -inf — monolithic boundary semantics)."""
+        lo_want = [c - self.fetch_halo for c in corner]
+        region0 = [v + self.ctx for v in lo_want]
+        vlo = [max(0, -r0) for r0 in region0]
+        vhi = [
+            min(cd + 2 * self.h, s - r0)
+            for cd, s, r0 in zip(self.core_dims, self.shape, region0)
+        ]
+        return lo_want, vlo, vhi
+
+    def _cc_fn(self, K: int):
+        try:
+            return self._cc_cache[K]
+        except (AttributeError, KeyError):
+            pass
         from flypylib_tpu.ops.components import cc_label_and_extract
+
+        vz, vy, vx = self.pipe.vol_shape
+        h = self.h
+        cz, cy, cx = self.core_dims
 
         @jax.jit
         def f(out, vlo, vhi, thr):
@@ -153,72 +205,34 @@ def detect_streaming(
             )
             return uniq, sums, count, conf, valid, over, faces
 
+        cache = getattr(self, "_cc_cache", None)
+        if cache is None:
+            cache = self._cc_cache = {}
+        cache[K] = f
         return f
 
-    all_locs, all_conf = [], []
-    cc_rois: dict[tuple, dict] = {}
-    K = max_components_per_roi
+    def consume(self, outs, progress=None):
+        """Drain an iterator of ``(key, corner, out_device, lo_want, vlo,
+        vhi)`` and merge per-ROI results.  Pipelined with lag 1: pulling
+        the NEXT item dispatches its forward (async) before the current
+        item's postprocess transfer blocks the host, so the device never
+        idles on the host roundtrip."""
+        self._all_locs, self._all_conf = [], []
+        self._cc_rois: dict[tuple, dict] = {}
+        pending = None
+        for item in outs:
+            if pending is not None:
+                self._handle(*pending, progress)
+            pending = item
+        if pending is not None:
+            self._handle(*pending, progress)
+        return self._finalize()
 
-    grid = [
-        ((iz, iy, ix), (z0, y0, x0))
-        for iz, z0 in enumerate(starts[0])
-        for iy, y0 in enumerate(starts[1])
-        for ix, x0 in enumerate(starts[2])
-    ]
-
-    def prep(corner):
-        """Fetch + reflect-pad one ROI block (host work, prefetchable)."""
-        lo_want = [c - fetch_halo for c in corner]
-        hi_want = [
-            c + cd + fetch_halo for c, cd in zip(corner, core_dims)
-        ]
-        lo = [max(0, v) for v in lo_want]
-        hi = [min(s, v) for s, v in zip(shape, hi_want)]
-        block = np.asarray(read_fn(lo, hi))
-        # ONE reflect pad continues the volume past its faces —
-        # identical to a monolithic run's face padding
-        pads = [
-            (l - lw, hw - hh)
-            for l, lw, hw, hh in zip(lo, lo_want, hi_want, hi)
-        ]
-        block = np.pad(block, pads, mode="reflect")
-        # prob-region coords of the true-volume box: voxels outside are
-        # masked to -inf (monolithic boundary semantics)
-        region0 = [v + ctx for v in lo_want]
-        vlo = [max(0, -r0) for r0 in region0]
-        vhi = [
-            min(cd + 2 * h, s - r0)
-            for cd, s, r0 in zip(core_dims, shape, region0)
-        ]
-        return block, lo_want, vlo, vhi
-
-    # prefetch thread: the next ROI's disk read + pad rides under the
-    # current ROI's device time
-    import queue as _queue
-    import threading
-
-    fetched: _queue.Queue = _queue.Queue(maxsize=2)
-
-    def producer():
-        for key, corner in grid:
-            try:
-                fetched.put((key, corner, prep(corner), None))
-            except Exception as e:  # surface on the consumer side
-                fetched.put((key, corner, None, e))
-                return
-
-    threading.Thread(target=producer, daemon=True).start()
-
-    for _ in grid:
-        (iz, iy, ix), corner, prepped, err = fetched.get()
-        if err is not None:
-            raise RuntimeError(
-                f"ROI {corner}: fetch failed"
-            ) from err
-        block, lo_want, vlo, vhi = prepped
-        out = pipe.forward(block)
+    def _handle(self, key, corner, out, lo_want, vlo, vhi, progress):
+        pipe = self.pipe
+        core_dims, shape, ctx = self.core_dims, self.shape, self.ctx
         n_own = 0
-        if want_nms:
+        if self.want_nms:
             # DetectPipeline grows its top-k and retries on saturation,
             # so the per-ROI list is always complete
             nms_det, _ = pipe.postprocess(out, vlo, vhi)
@@ -237,10 +251,10 @@ def detect_streaming(
                 ),
                 axis=1,
             )
-            all_locs.append(glob[own])
-            all_conf.append(nms_det.conf[own])
+            self._all_locs.append(glob[own])
+            self._all_conf.append(nms_det.conf[own])
             n_own = int(own.sum())
-        if want_cc:
+        if self.want_cc:
             lo_j = jnp.asarray(vlo, jnp.int32)
             hi_j = jnp.asarray(vhi, jnp.int32)
             while True:
@@ -248,17 +262,19 @@ def detect_streaming(
                 # would otherwise cost a tunnel roundtrip)
                 uniq, sums, count, conf, valid, over, faces = (
                     jax.device_get(
-                        cc_fn(K)(out, lo_j, hi_j, jnp.float32(threshold))
+                        self._cc_fn(self.K)(
+                            out, lo_j, hi_j, jnp.float32(self.threshold)
+                        )
                     )
                 )
                 if not bool(over):
                     break
-                K *= 4  # grow-and-retry; later ROIs reuse the size
+                self.K *= 4  # grow-and-retry; later ROIs reuse the size
             sums = np.asarray(sums, np.float64)
             count = np.asarray(count, np.float64)
             # globalize coordinate sums by the core's corner
             sums += np.asarray(corner, np.float64) * count[:, None]
-            cc_rois[(iz, iy, ix)] = {
+            self._cc_rois[key] = {
                 "uniq": uniq,
                 "sums": sums,
                 "count": count,
@@ -269,21 +285,250 @@ def detect_streaming(
         if progress:
             progress(corner, n_own)
 
-    results = []
-    if want_nms:
-        if all_locs:
-            results.append(sort_detections(
-                np.concatenate(all_locs), np.concatenate(all_conf)
-            ))
-        else:
-            results.append(Tbars(locs=np.zeros((0, 3)), conf=np.zeros((0,))))
-    if want_cc:
-        from flypylib_tpu.ops.components import merge_component_fragments
+    def _finalize(self):
+        results = []
+        if self.want_nms:
+            if self._all_locs:
+                results.append(sort_detections(
+                    np.concatenate(self._all_locs),
+                    np.concatenate(self._all_conf),
+                ))
+            else:
+                results.append(
+                    Tbars(locs=np.zeros((0, 3)), conf=np.zeros((0,)))
+                )
+        if self.want_cc:
+            from flypylib_tpu.ops.components import (
+                merge_component_fragments,
+            )
 
-        results.append(merge_component_fragments(cc_rois, core_nvox))
-    if method == "both":
-        return tuple(results)
-    return results[0]
+            cz, cy, cx = self.core_dims
+            results.append(
+                merge_component_fragments(self._cc_rois, cz * cy * cx)
+            )
+        if self.method == "both":
+            return tuple(results)
+        return results[0]
+
+
+def make_stream_plan(
+    spec: ModelSpec,
+    variables,
+    shape,
+    core: int = 128,
+    tile_out: int | None = None,
+    window=5,
+    threshold: float = 0.5,
+    max_detections_per_roi: int = 4096,
+    max_components_per_roi: int = 4096,
+    method: str = "nms",
+):
+    """Build the reusable streaming-detection engine (ROI grid + compiled
+    pipelines) for :func:`detect_streaming` / :func:`detect_staged`.
+
+    Reuse one plan across calls on same-shaped volumes: every fresh plan
+    re-jits the tile forward and postprocess (minutes of XLA compile on a
+    remote TPU).  ``threshold`` is traced and may differ per call; the
+    geometry arguments (shape/core/window/method) are baked in.
+    """
+    return _StreamPlan(
+        spec, variables, shape, core, tile_out, window, threshold,
+        max_detections_per_roi, max_components_per_roi, method,
+    )
+
+
+def _check_plan(plan, shape, window, method, threshold):
+    """Geometry args are baked into a plan; catch silent mismatches and
+    retarget the traced threshold."""
+    if plan.shape != to3d(shape):
+        raise ValueError(f"plan shape {plan.shape} != volume {to3d(shape)}")
+    if plan.window != to3d(window):
+        raise ValueError(f"plan window {plan.window} != {to3d(window)}")
+    if plan.method != method:
+        raise ValueError(f"plan method {plan.method!r} != {method!r}")
+    plan.threshold = threshold  # traced everywhere: no recompile
+    plan.pipe.threshold = float(threshold)
+    return plan
+
+
+def detect_streaming(
+    spec: ModelSpec,
+    variables,
+    shape,
+    read_fn,
+    core: int = 128,
+    tile_out: int | None = None,
+    window=5,
+    threshold: float = 0.5,
+    max_detections_per_roi: int = 4096,
+    max_components_per_roi: int = 4096,
+    method: str = "nms",
+    progress=None,
+    plan: "_StreamPlan | None" = None,
+):
+    """Exact streaming detection over an arbitrarily large volume.
+
+    ``shape``/``read_fn`` typically come from :func:`h5_reader`.
+    ``method`` is ``"nms"`` (local-maximum candidates), ``"components"``
+    (seam-merged connected-component centroids), or ``"both"`` (returns a
+    ``(nms, components)`` tuple).
+
+    ``tile_out=None`` (default) picks the largest exact divisor of the
+    ROI extent under a memory cap (:func:`_default_tile`): divisors keep
+    the static tile grid from overshooting the ROI (a 272-wide ROI under
+    non-dividing 256-wide tiles runs 8 tiles of 268^3 — 4.6x redundant
+    conv FLOPs), and the cap bounds per-tile activation memory.
+
+    ``plan`` (from :func:`make_stream_plan`) reuses the compiled engine
+    across calls — each fresh plan re-jits the forward/postprocess, which
+    costs minutes of XLA compile on repeated invocations.
+    """
+    if plan is None:
+        plan = make_stream_plan(
+            spec, variables, shape, core=core, tile_out=tile_out,
+            window=window, threshold=threshold,
+            max_detections_per_roi=max_detections_per_roi,
+            max_components_per_roi=max_components_per_roi, method=method,
+        )
+    else:
+        plan = _check_plan(plan, shape, window, method, threshold)
+    shape = plan.shape
+    pipe = plan.pipe
+    fetch_halo = plan.fetch_halo
+    core_dims = plan.core_dims
+
+    def prep(corner):
+        """Fetch + reflect-pad one ROI block (host work, prefetchable)."""
+        lo_want, vlo, vhi = plan.region(corner)
+        hi_want = [
+            c + cd + fetch_halo for c, cd in zip(corner, core_dims)
+        ]
+        lo = [max(0, v) for v in lo_want]
+        hi = [min(s, v) for s, v in zip(shape, hi_want)]
+        block = np.asarray(read_fn(lo, hi))
+        # ONE reflect pad continues the volume past its faces —
+        # identical to a monolithic run's face padding
+        pads = [
+            (l - lw, hw - hh)
+            for l, lw, hw, hh in zip(lo, lo_want, hi_want, hi)
+        ]
+        block = np.pad(block, pads, mode="reflect")
+        return block, lo_want, vlo, vhi
+
+    # prefetch thread: the next ROI's disk read + pad rides under the
+    # current ROI's device time
+    import queue as _queue
+    import threading
+
+    fetched: _queue.Queue = _queue.Queue(maxsize=2)
+
+    def producer():
+        for key, corner in plan.grid:
+            try:
+                fetched.put((key, corner, prep(corner), None))
+            except Exception as e:  # surface on the consumer side
+                fetched.put((key, corner, None, e))
+                return
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    def outs():
+        for _ in plan.grid:
+            key, corner, prepped, err = fetched.get()
+            if err is not None:
+                raise RuntimeError(f"ROI {corner}: fetch failed") from err
+            block, lo_want, vlo, vhi = prepped
+            yield key, corner, pipe.forward(block), lo_want, vlo, vhi
+
+    return plan.consume(outs(), progress)
+
+
+def detect_staged(
+    spec: ModelSpec,
+    variables,
+    volume: np.ndarray,
+    core: int = 256,
+    tile_out: int | None = None,
+    window=5,
+    threshold: float = 0.5,
+    max_detections_per_roi: int = 4096,
+    max_components_per_roi: int = 4096,
+    method: str = "nms",
+    progress=None,
+    staged=None,
+    plan: "_StreamPlan | None" = None,
+):
+    """HBM-resident streaming detection: the whole volume is staged on
+    device ONCE (uint8 stays uint8 — 4x cheaper on the wire), then every
+    ROI block is sliced device-to-device, so the steady state never
+    touches the host wire.  This is the chip-bound operating mode for
+    volumes that fit HBM (the 1k^3 north-star config [B:5][B:8]);
+    detections are exactly :func:`detect_streaming`'s (same plan, same
+    postprocess — pinned by tests/test_large.py).
+
+    ``staged`` (from :func:`stage_volume`) reuses a previous upload
+    across calls and ``plan`` (from :func:`make_stream_plan`) reuses the
+    compiled engine — e.g. threshold sweeps on the same volume recompile
+    and re-upload nothing.
+    """
+    if plan is None:
+        plan = make_stream_plan(
+            spec, variables, np.shape(volume), core=core,
+            tile_out=tile_out, window=window, threshold=threshold,
+            max_detections_per_roi=max_detections_per_roi,
+            max_components_per_roi=max_components_per_roi, method=method,
+        )
+    else:
+        plan = _check_plan(plan, np.shape(volume), window, method,
+                           threshold)
+    if staged is None:
+        staged = stage_volume(volume, plan=plan)
+    big, fetch_halo = staged
+    if fetch_halo < plan.fetch_halo:
+        raise ValueError(
+            f"staged halo {fetch_halo} < required {plan.fetch_halo} "
+            "(stage_volume with the same window/method)"
+        )
+    off = fetch_halo - plan.fetch_halo  # staged halo may be generous
+    # zero-extend so the highest ROI's window fits: the extension feeds
+    # only grid-extension/out-of-volume prob voxels, all masked by
+    # [vlo, vhi) before use — same exactness argument as host-path
+    # prepare()'s grid extension
+    pad_hi = [
+        max(
+            0,
+            max(c[d] for _, c in plan.grid)
+            + off + plan.pipe.padded_shape[d] - big.shape[d],
+        )
+        for d in range(3)
+    ]
+    if any(pad_hi):
+        big = jnp.pad(big, [(0, p) for p in pad_hi])
+
+    def outs():
+        for key, corner in plan.grid:
+            lo_want, vlo, vhi = plan.region(corner)
+            origin = tuple(c + off for c in corner)
+            yield (
+                key, corner, plan.pipe.forward_from(big, origin),
+                lo_want, vlo, vhi,
+            )
+
+    return plan.consume(outs(), progress)
+
+
+def stage_volume(volume: np.ndarray, plan=None, halo: int | None = None):
+    """Upload a whole volume to HBM with its streaming reflect halo.
+
+    Returns ``(big, halo)`` for :func:`detect_staged`'s ``staged=`` — the
+    one wire transfer, reusable across detection calls.  ``halo`` must be
+    >= the plan's ``fetch_halo`` (``context + window//2 + context``)."""
+    h = plan.fetch_halo if halo is None else halo
+    vol = np.asarray(volume)
+    if vol.dtype not in (np.uint8, np.float32):
+        vol = vol.astype(np.float32)
+    pad = [(h, h)] * 3
+    return jax.device_put(np.pad(vol, pad, mode="reflect")), h
 
 
 def detect_h5(

@@ -266,6 +266,32 @@ class DetectPipeline:
             jax.device_put(padded[zs : zs + tin]) for zs, _ in self._slabs
         ]
 
+    @property
+    def padded_shape(self) -> tuple:
+        """Shape of the padded input :meth:`prepare` produces (the region
+        :meth:`forward_from` slices per ROI)."""
+        c = self._tiled.ctx
+        return tuple(os + 2 * c for os in self._out_shape)
+
+    def forward_from(self, big: jax.Array, origin) -> jax.Array:
+        """Forward over a window of a device-resident global volume.
+
+        ``big`` is the whole (halo-padded, grid-extended) volume already
+        staged in HBM; ``origin`` is the window's start index in ``big``
+        such that ``big[origin : origin + padded_shape]`` equals what
+        :meth:`prepare` would have produced for this ROI.  Slab slices are
+        device-to-device (HBM bandwidth) — no host wire in the loop."""
+        oz, oy, ox = (int(v) for v in origin)
+        tin = self._tin
+        _, py, px = self.padded_shape
+        out = jnp.zeros(self._out_shape, dtype=jnp.float32)
+        for zs, local in self._slabs:
+            slab = lax.dynamic_slice(big, (oz + zs, oy, ox), (tin, py, px))
+            out = self._fwd_slab(
+                self.variables, slab, local, out, jnp.int32(zs)
+            )
+        return out
+
     def forward_staged(self, slabs: list) -> jax.Array:
         """Staged slabs (from :meth:`stage`) -> device-resident prob map."""
         out = jnp.zeros(self._out_shape, dtype=jnp.float32)

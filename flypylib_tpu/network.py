@@ -158,6 +158,51 @@ class FplNetwork:
             return label_components(prob, threshold=threshold)
         raise ValueError(f"unknown method {method!r}")
 
+    def detect_large(
+        self,
+        volume,
+        window=5,
+        threshold: float = 0.5,
+        core: int = 256,
+        method: str = "nms",
+        staged: bool | None = None,
+        **kw,
+    ):
+        """Detection over volumes of any size with exact whole-volume
+        semantics (infer/large.py).  ``volume`` is an ndarray, an HDF5
+        path, or a ``(shape, read_fn)`` pair.  ``staged=True`` keeps the
+        whole volume HBM-resident and slices ROIs on device (the
+        chip-bound mode; default for in-RAM volumes that fit), else ROIs
+        stream over the wire / from disk with bounded memory."""
+        from flypylib_tpu.infer.large import (
+            detect_h5,
+            detect_staged,
+            detect_streaming,
+        )
+
+        common = dict(
+            window=window, threshold=threshold, core=core, method=method,
+            **kw,
+        )
+        if isinstance(volume, str):
+            return detect_h5(self.infer_spec, self.variables, volume,
+                             **common)
+        if isinstance(volume, tuple) and callable(volume[1]):
+            shape, read = volume
+            return detect_streaming(self.infer_spec, self.variables, shape,
+                                    read, **common)
+        vol = np.asarray(volume)
+        if staged is None:
+            staged = vol.nbytes <= 2 << 30  # HBM-resident when it fits
+        if staged:
+            return detect_staged(self.infer_spec, self.variables, vol,
+                                 **common)
+        from flypylib_tpu.infer.large import array_reader
+
+        shape, read = array_reader(vol)
+        return detect_streaming(self.infer_spec, self.variables, shape,
+                                read, **common)
+
     # -- evaluate ----------------------------------------------------------
     @staticmethod
     def evaluate(pred_or_prob, gt: Tbars, dist_thresh: float = 10.0,

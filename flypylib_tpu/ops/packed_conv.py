@@ -124,9 +124,12 @@ def parity_merge(x: jax.Array) -> jax.Array:
 
 
 def _conv(x, w, dims=("NDHWC", "DHWIO", "NDHWC")):
+    # No preferred_element_type: the MXU still accumulates in f32
+    # internally, but the output rounds straight to the compute dtype —
+    # exactly flax nn.Conv's dataflow, and half the HBM for bf16
+    # activation temps (a 284^3 streaming tile OOMs with f32 temps).
     return lax.conv_general_dilated(
         x, w, (1, 1, 1), "VALID", dimension_numbers=dims,
-        preferred_element_type=jnp.float32,
     )
 
 
@@ -188,15 +191,19 @@ class PackedConvStack:
         x = x.astype(dt)
 
         def body_epilogue(y, i, tile):
-            """bias (+ BatchNorm) + ReLU, channel params tiled for the
-            current packing factor."""
-            b = params[f"Conv_{i}"]["bias"].astype(jnp.float32)
+            """bias (+ BatchNorm) + ReLU in the compute dtype, channel
+            params tiled for the current packing factor (flax's bf16
+            dataflow: no f32 activation temps)."""
+            b = params[f"Conv_{i}"]["bias"].astype(dt)
             b = jnp.tile(b, tile)
             y = y + b
             if inner.use_batchnorm:
                 scale, shift = self._affine(variables, i)
-                y = y * jnp.tile(scale, tile) + jnp.tile(shift, tile)
-            return jax.nn.relu(y).astype(dt)
+                y = (
+                    y * jnp.tile(scale.astype(dt), tile)
+                    + jnp.tile(shift.astype(dt), tile)
+                )
+            return jax.nn.relu(y)
 
         # stage A: leading dilation-1 layers in space-to-depth packing
         i = 0

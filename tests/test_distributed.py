@@ -16,6 +16,10 @@ _WORKER = textwrap.dedent(
     """
     import json, os, sys
 
+    # the script runs from a tmp dir: put the repo on sys.path explicitly
+    # (PYTHONPATH can shadow this sandbox's sitecustomize backend setup)
+    sys.path.insert(0, os.environ["FLYPYLIB_REPO"])
+
     import jax
 
     # sitecustomize force-registers the TPU backend; CPU must be forced
@@ -93,9 +97,14 @@ def test_two_process_distributed_cpu(tmp_path):
     script.write_text(_WORKER)
     import os
 
+    from pathlib import Path
+
+    import flypylib_tpu
+
     env = dict(
         os.environ,
         XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        FLYPYLIB_REPO=str(Path(flypylib_tpu.__file__).parents[1]),
     )
     procs = [
         subprocess.Popen(

@@ -124,3 +124,64 @@ def test_detect_h5_roundtrip(model, rng, tmp_path):
     )
     host = nms_host(prob, window=3, threshold=thr)
     assert_same_detections(host, got)
+
+
+def test_staged_equals_streaming_and_monolithic(model, rng):
+    """detect_staged (HBM-resident, device-sliced ROIs) == detect_streaming
+    == host reference, including seam ownership and non-divisible cores."""
+    from flypylib_tpu.infer.large import detect_staged
+
+    spec, variables = model
+    vol = rng.random((45, 38, 41)).astype(np.float32)
+    prob = reference_prob(spec, variables, vol)
+    thr = float(np.quantile(prob, 0.995))
+    host_nms = nms_host(prob, window=5, threshold=thr)
+    host_cc = components_host(prob, threshold=thr)
+    shape, read = array_reader(vol)
+    stream = detect_streaming(
+        spec, variables, shape, read, core=20, window=5, threshold=thr,
+        method="both",
+    )
+    staged = detect_staged(
+        spec, variables, vol, core=20, window=5, threshold=thr,
+        method="both",
+    )
+    assert len(host_nms) > 0 and len(host_cc) > 0
+    for h, s, g in zip((host_nms, host_cc), stream, staged):
+        assert_same_detections(h, s)
+        assert len(s) == len(g)
+        np.testing.assert_array_equal(s.locs, g.locs)
+        np.testing.assert_array_equal(s.conf, g.conf)
+
+
+def test_staged_uint8_and_reuse(model, rng):
+    """uint8 volumes stay uint8 on the wire; a staged upload is reusable
+    across calls (threshold sweeps)."""
+    from flypylib_tpu.infer.large import detect_staged, stage_volume
+    from flypylib_tpu.infer.large import _StreamPlan
+
+    spec, variables = model
+    vol = (rng.random((40, 33, 37)) * 255).astype(np.uint8)
+    # the device path scales uint8 by multiplying with (1/255): divide on
+    # the host reference flips ULPs and near-threshold candidates with it
+    prob = reference_prob(
+        spec, variables, vol.astype(np.float32) * np.float32(1.0 / 255.0)
+    )
+    thr = float(np.quantile(prob, 0.99))
+    host = nms_host(prob, window=5, threshold=thr)
+    plan = _StreamPlan(
+        spec, variables, vol.shape, 24, None, 5, thr, 4096, 4096, "nms"
+    )
+    staged = stage_volume(vol, plan=plan)
+    assert staged[0].dtype == np.uint8  # 4x cheaper on the wire
+    got1 = detect_staged(
+        spec, variables, vol, core=24, window=5, threshold=thr,
+        staged=staged,
+    )
+    got2 = detect_staged(
+        spec, variables, vol, core=24, window=5,
+        threshold=float(np.quantile(prob, 0.999)), staged=staged,
+    )
+    assert len(host) > 0
+    assert_same_detections(host, got1)
+    assert 0 < len(got2) < len(got1)

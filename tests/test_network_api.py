@@ -105,3 +105,23 @@ def test_unet_train_smoke():
     det = net.detect(image.astype(np.float32), threshold=0.5,
                      tile_out=20, method="components")
     assert det is not None
+
+
+def test_detect_large_verb(trained_net):
+    """detect_large matches the monolithic detect on every input form
+    (ndarray staged / streamed, (shape, read_fn) pair)."""
+    net, image, _, _ = trained_net
+    mono = net.detect(image, window=5, threshold=0.3, tile_out=24)
+    staged = net.detect_large(image, window=5, threshold=0.3, core=24,
+                              staged=True)
+    streamed = net.detect_large(image, window=5, threshold=0.3, core=24,
+                                staged=False)
+    from flypylib_tpu.infer.large import array_reader
+
+    pair = net.detect_large(array_reader(image), window=5, threshold=0.3,
+                            core=24)
+    assert len(mono) > 0
+    for got in (staged, streamed, pair):
+        assert len(got) == len(mono)
+        np.testing.assert_array_equal(got.locs, mono.locs)
+        np.testing.assert_array_equal(got.conf, mono.conf)
