@@ -83,7 +83,9 @@ def _flagship(dtype=None):
     return pspec, variables
 
 
-def bench_tpu(size: int = 256, tile_out: int = 128, tile_batch: int = 4):
+def bench_tpu(size: int = 256, tile_out: int = 64, tile_batch: int = 16):
+    # tile/batch default from the measured sweep (BENCH_NOTES round 2):
+    # batched small-spatial convs fill the MXU better than big tiles
     import jax.numpy as jnp  # noqa: F401  (backend init)
 
     from flypylib_tpu.infer.pipeline import DetectPipeline

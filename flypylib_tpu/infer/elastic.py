@@ -84,7 +84,21 @@ class SharedROIQueue:
             return self._try_steal(roi)
         with os.fdopen(fd, "w") as f:
             f.write(payload)
+        # mark_done deletes the claim AFTER creating the done record, so
+        # an exclusive-create can succeed on an ROI that finished between
+        # our is_done check and the open — re-check closes that window
+        # (the done rename is ordered before the claim unlink, so a
+        # post-create re-check always sees it)
+        if self.is_done(roi):
+            self._release(roi)
+            return False
         return True
+
+    def _release(self, roi: ROI) -> None:
+        try:
+            os.unlink(self._claim_path(roi))
+        except OSError:
+            pass
 
     def _try_steal(self, roi: ROI) -> bool:
         """Take over an expired lease (dead worker); atomic via rename —
@@ -110,6 +124,9 @@ class SharedROIQueue:
                  "stolen_from": claim.get("worker")}
             ))
         os.replace(steal, path)
+        if self.is_done(roi):  # owner finished while its lease looked stale
+            self._release(roi)
+            return False
         return True
 
     def heartbeat(self, roi: ROI) -> None:

@@ -76,24 +76,32 @@ def array_reader(vol: np.ndarray):
     return vol.shape, read
 
 
-def _default_tile(extent: int, spec: ModelSpec, cap: int = 176) -> int:
-    """Default streaming tile: the largest divisor of the ROI extent
-    <= ``cap`` that keeps tile starts packing-phase aligned.
+def _default_tile(
+    extent: int, spec: ModelSpec, target: int = 64, cap: int = 176
+) -> int:
+    """Default streaming tile: the valid divisor of the ROI extent
+    nearest ``target`` (within [target//2, cap]), phase-aligned.
 
     A divisor means the static tile grid covers the ROI exactly (no
-    overshoot -> no redundant conv FLOPs); the cap bounds per-tile
-    activation memory — XLA materializes conv input patches, so one
-    monolithic 284^3 ROI tile transiently needs ~8 GB and OOMs a 16 GB
-    chip, while 2x2x2 tiles of 136 fit comfortably."""
+    overshoot -> no redundant conv FLOPs).  Small-ish tiles win twice:
+    per-tile activation memory stays bounded (XLA materializes conv
+    input patches — one monolithic 284^3 ROI tile transiently needs
+    ~8 GB and OOMs a 16 GB chip), and batched small-spatial convs run
+    FASTER on the MXU than big tiles despite the halo redundancy
+    (measured sweep in BENCH_NOTES.md round 2: 64-tiles at batch 16 beat
+    256-tiles by 1.5x at 256^3)."""
     if extent <= cap:
-        return extent
+        if extent <= 2 * target:
+            return extent
     mult = max(spec.size_multiple, 1)
-    for d in range(cap, 63, -1):
+    best = None
+    for d in range(max(target // 2, mult), min(cap, extent) + 1):
         if extent % d == 0 and d % mult == 0 and spec.is_valid_size(
             d + 2 * spec.context
         ):
-            return d
-    return extent
+            if best is None or abs(d - target) < abs(best - target):
+                best = d
+    return best if best is not None else extent
 
 
 class _StreamPlan:
@@ -109,6 +117,7 @@ class _StreamPlan:
         shape,
         core: int,
         tile_out: int | None,
+        tile_batch: int | None,
         window,
         threshold: float,
         max_detections_per_roi: int,
@@ -146,10 +155,16 @@ class _StreamPlan:
         roi_extent = max(self.core_dims) + 2 * h
         if tile_out is None:
             tile_out = _default_tile(roi_extent, spec)
+        if tile_batch is None:
+            # several small tiles per z-slab batch well on the MXU
+            # (measured: small-spatial/high-batch convs beat big tiles
+            # despite the halo redundancy — BENCH_NOTES.md round 2)
+            tile_batch = min(16, max(1, (roi_extent // tile_out) ** 2))
         self.pipe = DetectPipeline(
             spec, variables,
             vol_shape=tuple(c + 2 * h for c in self.core_dims),
             tile_out=min(tile_out, roi_extent),
+            tile_batch=tile_batch,
             window=window, threshold=threshold,
             max_detections=max_detections_per_roi,
             run_cc=False, pre_padded=True,
@@ -317,6 +332,7 @@ def make_stream_plan(
     shape,
     core: int = 128,
     tile_out: int | None = None,
+    tile_batch: int | None = None,
     window=5,
     threshold: float = 0.5,
     max_detections_per_roi: int = 4096,
@@ -332,8 +348,8 @@ def make_stream_plan(
     geometry arguments (shape/core/window/method) are baked in.
     """
     return _StreamPlan(
-        spec, variables, shape, core, tile_out, window, threshold,
-        max_detections_per_roi, max_components_per_roi, method,
+        spec, variables, shape, core, tile_out, tile_batch, window,
+        threshold, max_detections_per_roi, max_components_per_roi, method,
     )
 
 
@@ -358,6 +374,7 @@ def detect_streaming(
     read_fn,
     core: int = 128,
     tile_out: int | None = None,
+    tile_batch: int | None = None,
     window=5,
     threshold: float = 0.5,
     max_detections_per_roi: int = 4096,
@@ -386,7 +403,7 @@ def detect_streaming(
     if plan is None:
         plan = make_stream_plan(
             spec, variables, shape, core=core, tile_out=tile_out,
-            window=window, threshold=threshold,
+            tile_batch=tile_batch, window=window, threshold=threshold,
             max_detections_per_roi=max_detections_per_roi,
             max_components_per_roi=max_components_per_roi, method=method,
         )
@@ -449,6 +466,7 @@ def detect_staged(
     volume: np.ndarray,
     core: int = 256,
     tile_out: int | None = None,
+    tile_batch: int | None = None,
     window=5,
     threshold: float = 0.5,
     max_detections_per_roi: int = 4096,
@@ -474,7 +492,8 @@ def detect_staged(
     if plan is None:
         plan = make_stream_plan(
             spec, variables, np.shape(volume), core=core,
-            tile_out=tile_out, window=window, threshold=threshold,
+            tile_out=tile_out, tile_batch=tile_batch, window=window,
+            threshold=threshold,
             max_detections_per_roi=max_detections_per_roi,
             max_components_per_roi=max_components_per_roi, method=method,
         )

@@ -157,8 +157,11 @@ def test_staged_equals_streaming_and_monolithic(model, rng):
 def test_staged_uint8_and_reuse(model, rng):
     """uint8 volumes stay uint8 on the wire; a staged upload is reusable
     across calls (threshold sweeps)."""
-    from flypylib_tpu.infer.large import detect_staged, stage_volume
-    from flypylib_tpu.infer.large import _StreamPlan
+    from flypylib_tpu.infer.large import (
+        detect_staged,
+        make_stream_plan,
+        stage_volume,
+    )
 
     spec, variables = model
     vol = (rng.random((40, 33, 37)) * 255).astype(np.uint8)
@@ -169,8 +172,8 @@ def test_staged_uint8_and_reuse(model, rng):
     )
     thr = float(np.quantile(prob, 0.99))
     host = nms_host(prob, window=5, threshold=thr)
-    plan = _StreamPlan(
-        spec, variables, vol.shape, 24, None, 5, thr, 4096, 4096, "nms"
+    plan = make_stream_plan(
+        spec, variables, vol.shape, core=24, window=5, threshold=thr
     )
     staged = stage_volume(vol, plan=plan)
     assert staged[0].dtype == np.uint8  # 4x cheaper on the wire
