@@ -134,7 +134,7 @@ def bench_tpu(size: int = 256, tile_out: int = 64, tile_batch: int = 16):
     }
 
 
-def bench_staged_1k(size: int = 1024, core: int = 256):
+def bench_staged_1k(size: int = 1024, core: int = 512):
     """Eval config 2 [B:8] / north star [B:5]: 1k^3 whole-volume detection.
 
     The volume is staged in HBM ONCE (uint8 — the single wire transfer),
@@ -163,6 +163,9 @@ def bench_staged_1k(size: int = 1024, core: int = 256):
     )
     thr = float(np.quantile(probe, 0.9999))
 
+    # core=512: ROI halo redundancy (528/512)^3 = 1.10 vs 1.20 at core
+    # 256, and 8 ROIs instead of 64 cut the per-ROI postprocess
+    # roundtrips 8x (measured sweep in BENCH_NOTES.md round 2)
     common = dict(window=5, threshold=thr, max_detections_per_roi=8192)
     plan = make_stream_plan(pspec, variables, vol.shape, core=core,
                             **common)

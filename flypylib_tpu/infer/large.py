@@ -226,31 +226,63 @@ class _StreamPlan:
         cache[K] = f
         return f
 
-    def consume(self, outs, progress=None):
+    def consume(self, outs, progress=None, redo=None):
         """Drain an iterator of ``(key, corner, out_device, lo_want, vlo,
-        vhi)`` and merge per-ROI results.  Pipelined with lag 1: pulling
-        the NEXT item dispatches its forward (async) before the current
-        item's postprocess transfer blocks the host, so the device never
-        idles on the host roundtrip."""
+        vhi)`` and merge per-ROI results.
+
+        Deep-pipelined: each ROI's postprocess is DISPATCHED immediately
+        (its result arrays start copying to the host asynchronously) and
+        COLLECTED ``window`` ROIs later, so the host never blocks a
+        device round-trip while the device still has queued forwards —
+        per-ROI wire latency rides entirely under compute.  The window
+        bounds in-flight prob-map buffers (one per uncollected ROI).
+
+        ``redo(key, corner) -> device prob map`` recomputes one ROI's
+        forward for the rare saturation grow-and-retry (the pipeline has
+        dropped the map reference by collection time).
+        """
+        from collections import deque
+
         self._all_locs, self._all_conf = [], []
         self._cc_rois: dict[tuple, dict] = {}
-        pending = None
+        window = 4
+        pend: deque = deque()
         for item in outs:
-            if pending is not None:
-                self._handle(*pending, progress)
-            pending = item
-        if pending is not None:
-            self._handle(*pending, progress)
+            pend.append(self._dispatch(*item))
+            if len(pend) > window:
+                self._collect(pend.popleft(), progress, redo)
+        while pend:
+            self._collect(pend.popleft(), progress, redo)
         return self._finalize()
 
-    def _handle(self, key, corner, out, lo_want, vlo, vhi, progress):
-        pipe = self.pipe
+    def _dispatch(self, key, corner, out, lo_want, vlo, vhi):
+        rec = {
+            "key": key, "corner": corner, "lo_want": lo_want,
+            "vlo": vlo, "vhi": vhi,
+        }
+        if self.want_nms:
+            rec["nms"] = self.pipe.postprocess_start(out, vlo, vhi)
+        if self.want_cc:
+            lo_j = jnp.asarray(vlo, jnp.int32)
+            hi_j = jnp.asarray(vhi, jnp.int32)
+            cc = self._cc_fn(self.K)(
+                out, lo_j, hi_j, jnp.float32(self.threshold)
+            )
+            for leaf in jax.tree.leaves(cc):
+                leaf.copy_to_host_async()
+            rec["cc"], rec["cc_K"] = cc, self.K
+        return rec
+
+    def _collect(self, rec, progress, redo):
+        key, corner = rec["key"], rec["corner"]
+        lo_want, vlo, vhi = rec["lo_want"], rec["vlo"], rec["vhi"]
+        provider = (lambda: redo(key, corner)) if redo is not None else None
         core_dims, shape, ctx = self.core_dims, self.shape, self.ctx
         n_own = 0
         if self.want_nms:
-            # DetectPipeline grows its top-k and retries on saturation,
-            # so the per-ROI list is always complete
-            nms_det, _ = pipe.postprocess(out, vlo, vhi)
+            # grow-and-retry via ``provider`` on saturation, so the
+            # per-ROI list is always complete
+            nms_det, _ = self.pipe.postprocess_finish(rec["nms"], provider)
             # local coords are relative to lo_want; prob index 0 is at
             # global lo_want + ctx
             glob = nms_det.locs + np.asarray(
@@ -270,21 +302,27 @@ class _StreamPlan:
             self._all_conf.append(nms_det.conf[own])
             n_own = int(own.sum())
         if self.want_cc:
-            lo_j = jnp.asarray(vlo, jnp.int32)
-            hi_j = jnp.asarray(vhi, jnp.int32)
+            K, res = rec["cc_K"], rec["cc"]
             while True:
                 # ONE bulk device->host transfer per ROI (each array
                 # would otherwise cost a tunnel roundtrip)
                 uniq, sums, count, conf, valid, over, faces = (
-                    jax.device_get(
-                        self._cc_fn(self.K)(
-                            out, lo_j, hi_j, jnp.float32(self.threshold)
-                        )
-                    )
+                    jax.device_get(res)
                 )
                 if not bool(over):
                     break
-                self.K *= 4  # grow-and-retry; later ROIs reuse the size
+                K *= 4
+                self.K = max(self.K, K)  # later ROIs reuse the size
+                if provider is None:
+                    raise RuntimeError(
+                        "CC overflowed and the prob map is gone; pass "
+                        "redo= to enable grow-and-retry"
+                    )
+                res = self._cc_fn(K)(
+                    provider(), jnp.asarray(vlo, jnp.int32),
+                    jnp.asarray(vhi, jnp.int32),
+                    jnp.float32(self.threshold),
+                )
             sums = np.asarray(sums, np.float64)
             count = np.asarray(count, np.float64)
             # globalize coordinate sums by the core's corner
@@ -457,7 +495,11 @@ def detect_streaming(
             block, lo_want, vlo, vhi = prepped
             yield key, corner, pipe.forward(block), lo_want, vlo, vhi
 
-    return plan.consume(outs(), progress)
+    def redo(key, corner):
+        # saturation retry: re-read + re-run the one affected ROI
+        return pipe.forward(prep(corner)[0])
+
+    return plan.consume(outs(), progress, redo=redo)
 
 
 def detect_staged(
@@ -533,7 +575,13 @@ def detect_staged(
                 lo_want, vlo, vhi,
             )
 
-    return plan.consume(outs(), progress)
+    def redo(key, corner):
+        # saturation retry: re-slice + re-run the one affected ROI
+        return plan.pipe.forward_from(
+            big, tuple(c + off for c in corner)
+        )
+
+    return plan.consume(outs(), progress, redo=redo)
 
 
 def stage_volume(volume: np.ndarray, plan=None, halo: int | None = None):

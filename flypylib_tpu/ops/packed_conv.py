@@ -242,10 +242,25 @@ class PackedConvStack:
         x = _conv(x, w).astype(dt) + b
         x = jax.nn.relu(x)
 
-        # logits conv in f32 (matches ConvStack's dtype=float32 head)
+        # logits conv: ConvStack's head is f32, but upcasting the
+        # 96-channel activation to f32 is pure HBM bandwidth (bf16->f32
+        # is value-exact, so the f32 conv gains nothing from the input
+        # side).  Split the f32 weight into two bf16 terms (w = hi + lo,
+        # ~16 mantissa bits) stacked on the output channel, run ONE bf16
+        # conv with f32 MXU accumulation, and sum — measured 2.2x faster
+        # (experiments/t64_profile.jsonl) at ~1e-6 relative error vs the
+        # f32 conv, far inside the engine's bf16-parity tolerance.
         w = params[f"Conv_{n_body + 1}"]["kernel"].astype(jnp.float32)
         b = params[f"Conv_{n_body + 1}"]["bias"].astype(jnp.float32)
-        x = _conv(x.astype(jnp.float32), w) + b
+        w_hi = w.astype(dt)
+        w_lo = (w - w_hi.astype(jnp.float32)).astype(dt)
+        y = lax.conv_general_dilated(
+            x.astype(dt), jnp.concatenate([w_hi, w_lo], axis=-1),
+            (1, 1, 1), "VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        x = y[..., : w.shape[-1]] + y[..., w.shape[-1] :] + b
 
         # merge parity lattices back to full resolution
         for _ in range(level):

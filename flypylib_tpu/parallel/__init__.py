@@ -1,6 +1,7 @@
 from flypylib_tpu.parallel.mesh import (
     make_mesh,
     make_mesh_2d,
+    make_mesh_3d,
     replicated,
     batch_sharded,
 )
@@ -14,6 +15,7 @@ from flypylib_tpu.parallel.halo import (
 __all__ = [
     "make_mesh",
     "make_mesh_2d",
+    "make_mesh_3d",
     "replicated",
     "batch_sharded",
     "make_dp_train_step",

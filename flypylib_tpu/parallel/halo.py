@@ -5,12 +5,13 @@ This is the TPU-native analog of flypylib's inference-side parallelism
 "spatial sequence-parallelism" called for by SURVEY.md sections 2.3/5 and
 eval configs 2/5 [B:8][B:11]:
 
-- the volume is sharded along z (1-D mesh) or z and y (2-D mesh) over the
-  named mesh axes;
+- the volume is sharded along z (1-D mesh), z and y (2-D mesh), or z, y
+  and x (3-D mesh) over the named mesh axes;
 - each shard exchanges ``context``-deep boundary slabs with its neighbors
   via ``lax.ppermute`` (compiled to ICI sends, not host round-trips); the
-  y exchange ships the *z-extended* block, so diagonal-corner data arrives
-  via the two-hop z-then-y path — every shard sees exactly the monolithic
+  y exchange ships the *z-extended* block and the x exchange ships the
+  *z+y-extended* block, so diagonal/corner data arrives via the multi-hop
+  z-then-y-then-x path — every shard sees exactly the monolithic
   neighborhood;
 - edge shards substitute the host-computed reflect padding (ONE reflect
   pad of the original volume — the single-reflect rule — zero-extended
@@ -50,9 +51,10 @@ from flypylib_tpu.utils import ceil_div, to3d
 
 
 def _axes_tuple(axis) -> tuple[str, ...]:
+    """Mesh axis names sharding (z,), (z, y), or (z, y, x)."""
     axes = (axis,) if isinstance(axis, str) else tuple(axis)
-    if len(axes) not in (1, 2):
-        raise ValueError(f"axis must name 1 or 2 mesh axes, got {axes}")
+    if len(axes) not in (1, 2, 3):
+        raise ValueError(f"axis must name 1-3 mesh axes, got {axes}")
     return axes
 
 
@@ -105,30 +107,34 @@ def sharded_infer(
     pad_mode: str = "reflect",
     tile_z: int | None = None,
 ):
-    """Volume-sharded whole-volume inference over 1 or 2 mesh axes.
+    """Volume-sharded whole-volume inference over 1, 2, or 3 mesh axes.
 
-    ``axis`` is a mesh axis name (z-sharding) or a pair ``(az, ay)``
-    (z and y sharding — xy footprints shrink with the mesh, so pods scale
-    past what z-only slabs allow).  Returns the full probability map as a
-    sharded global jax array (same shape as ``volume``).  By default each
-    shard's forward runs over its whole block; pass ``tile_z`` to bound
-    per-shard activation memory — the shard then scans over z-subtiles in
-    HBM, so arbitrarily large blocks fit (pod-scale volumes, eval config 5
+    ``axis`` is a mesh axis name (z-sharding), a pair ``(az, ay)`` (z and
+    y sharding — xy footprints shrink with the mesh, so pods scale past
+    what z-only slabs allow), or a triple ``(az, ay, ax)`` (full 3-D
+    blocks — the smallest per-shard footprint, for pod meshes on big
+    volumes).  Returns the full probability map as a sharded global jax
+    array (same shape as ``volume``).  By default each shard's forward
+    runs over its whole block; pass ``tile_z`` to bound per-shard
+    activation memory — the shard then scans over z-subtiles in HBM, so
+    arbitrarily large blocks fit (pod-scale volumes, eval config 5
     [B:11]).
     """
     axes = _axes_tuple(axis)
-    two_d = len(axes) == 2
     az = axes[0]
-    ay = axes[1] if two_d else None
+    ay = axes[1] if len(axes) > 1 else None
+    ax_ = axes[2] if len(axes) > 2 else None
     nz = mesh.shape[az]
-    ny = mesh.shape[ay] if two_d else 1
+    ny = mesh.shape[ay] if ay else 1
+    nx = mesh.shape[ax_] if ax_ else 1
     c = spec.context
     vol = np.asarray(volume, dtype=np.float32)
     vz, vy, vx = vol.shape
 
     sz = _shard_extent(vz, nz, c, spec)
-    sy = _shard_extent(vy, ny, c, spec) if two_d else vy
-    vz_p, vy_p = nz * sz, ny * sy
+    sy = _shard_extent(vy, ny, c, spec) if ay else vy
+    sx = _shard_extent(vx, nx, c, spec) if ax_ else vx
+    vz_p, vy_p, vx_p = nz * sz, ny * sy, nx * sx
     if tile_z is not None:
         if sz % tile_z != 0:
             raise ValueError(f"tile_z {tile_z} must divide z-extent {sz}")
@@ -140,22 +146,34 @@ def sharded_infer(
 
     # ONE reflect pad of the original volume (exactly the monolithic
     # padding), zero-extended to the shard grid: every output voxel z<vz,
-    # y<vy reads only monolithic values; extension values feed outputs
-    # that are cropped below.
+    # y<vy, x<vx reads only monolithic values; extension values feed
+    # outputs that are cropped below.
     mono = np.pad(vol, c, mode=pad_mode) if c else vol
-    full = np.zeros((vz_p + 2 * c, vy_p + 2 * c, vx + 2 * c), np.float32)
-    full[: vz + 2 * c, : vy + 2 * c] = mono
-    ysl = slice(c, c + vy_p) if two_d else slice(0, vy_p + 2 * c)
-    work = jnp.asarray(full[c : c + vz_p, ysl, :])
-    zlo = jnp.asarray(full[:c, ysl, :])
-    zhi = jnp.asarray(full[c + vz_p :, ysl, :])
+    full = np.zeros(
+        (vz_p + 2 * c, vy_p + 2 * c, vx_p + 2 * c), np.float32
+    )
+    full[: vz + 2 * c, : vy + 2 * c, : vx + 2 * c] = mono
+    # sharded dims carry their halo via exchange (work excludes the pad);
+    # unsharded dims keep the host pad inline
+    ysl = slice(c, c + vy_p) if ay else slice(0, vy_p + 2 * c)
+    xsl = slice(c, c + vx_p) if ax_ else slice(0, vx_p + 2 * c)
+    work = jnp.asarray(full[c : c + vz_p, ysl, xsl])
+    zlo = jnp.asarray(full[:c, ysl, xsl])
+    zhi = jnp.asarray(full[c + vz_p :, ysl, xsl])
     extra = ()
-    if two_d:
+    if ay:
         # y-edge pads cover the full z-extended range: shards slice their
         # own (sz + 2c)-deep window by mesh position
-        extra = (
-            jnp.asarray(full[:, :c, :]),
-            jnp.asarray(full[:, c + vy_p :, :]),
+        extra += (
+            jnp.asarray(full[:, :c, xsl]),
+            jnp.asarray(full[:, c + vy_p :, xsl]),
+        )
+    if ax_:
+        # x-edge pads cover the full z- AND y-extended ranges (the x
+        # exchange runs last, on the z+y-extended block)
+        extra += (
+            jnp.asarray(full[:, :, :c]),
+            jnp.asarray(full[:, :, c + vx_p :]),
         )
 
     def fwd(variables, x):
@@ -185,35 +203,44 @@ def sharded_infer(
         out, _ = lax.scan(body, out0, jnp.arange(sz // tile_z))
         return out
 
-    def fn(variables, slab, zlo_p, zhi_p, *ypads):
+    def fn(variables, slab, zlo_p, zhi_p, *pads):
         x = _exchange_extend(slab, zlo_p, zhi_p, c, c, az, dim=0)
-        if two_d:
+        k = 0
+        if ay:
             zi = lax.axis_index(az)
-            ylo_f, yhi_f = ypads
+            ylo_f, yhi_f = pads[:2]
+            k = 2
             dims = (sz + 2 * c, c, x.shape[2])
             ylo = lax.dynamic_slice(ylo_f, (zi * sz, 0, 0), dims)
             yhi = lax.dynamic_slice(yhi_f, (zi * sz, 0, 0), dims)
             x = _exchange_extend(x, ylo, yhi, c, c, ay, dim=1)
+        if ax_:
+            zi = lax.axis_index(az)
+            yi = lax.axis_index(ay)
+            xlo_f, xhi_f = pads[k : k + 2]
+            dims = (sz + 2 * c, sy + 2 * c, c)
+            xlo = lax.dynamic_slice(xlo_f, (zi * sz, yi * sy, 0), dims)
+            xhi = lax.dynamic_slice(xhi_f, (zi * sz, yi * sy, 0), dims)
+            x = _exchange_extend(x, xlo, xhi, c, c, ax_, dim=2)
         return fwd(variables, x)
 
-    if two_d:
-        in_specs = (
-            P(), P(az, ay, None), P(None, ay, None), P(None, ay, None),
-            P(), P(),
-        )
-        out_spec = P(az, ay, None)
-    else:
-        in_specs = (P(), P(az, None, None), P(), P())
-        out_spec = P(az, None, None)
+    xspec = ax_ if ax_ else None
+    in_specs = [P(), P(az, ay, xspec), P(None, ay, xspec),
+                P(None, ay, xspec)]
+    if ay:
+        in_specs += [P(None, None, xspec)] * 2
+    if ax_:
+        in_specs += [P()] * 2
+    out_spec = P(az, ay, xspec)
 
     out = jax.jit(shard_map(
         fn,
         mesh=mesh,
-        in_specs=in_specs,
+        in_specs=tuple(in_specs),
         out_specs=out_spec,
         check_vma=False,
     ))(variables, work, zlo, zhi, *extra)
-    return out[:vz, :vy]
+    return out[:vz, :vy, :vx]
 
 
 def sharded_nms(
@@ -224,8 +251,9 @@ def sharded_nms(
     threshold: float = 0.5,
     max_per_shard: int = 1024,
 ) -> Tbars:
-    """NMS on a sharded probability map with ICI halo exchange (1-D or 2-D
-    spatial mesh; see :func:`sharded_infer` for the ``axis`` convention).
+    """NMS on a sharded probability map with ICI halo exchange (1-D, 2-D,
+    or 3-D spatial mesh; see :func:`sharded_infer` for the ``axis``
+    convention).
 
     Per-shard candidates are extracted with *global* coordinates; the
     cross-shard merge is exact because each shard's max-filter sees the
@@ -234,38 +262,44 @@ def sharded_nms(
     and retry, so no candidate is silently dropped.
     """
     axes = _axes_tuple(axis)
-    two_d = len(axes) == 2
     az = axes[0]
-    ay = axes[1] if two_d else None
+    ay = axes[1] if len(axes) > 1 else None
+    ax_ = axes[2] if len(axes) > 2 else None
     nz = mesh.shape[az]
-    ny = mesh.shape[ay] if two_d else 1
+    ny = mesh.shape[ay] if ay else 1
+    nx = mesh.shape[ax_] if ax_ else 1
     wz, wy, wx = to3d(window)
     hzl, hzh = wz // 2, wz - 1 - wz // 2
-    hyl, hyh = (wy // 2, wy - 1 - wy // 2) if two_d else (0, 0)
+    hyl, hyh = (wy // 2, wy - 1 - wy // 2) if ay else (0, 0)
+    hxl, hxh = (wx // 2, wx - 1 - wx // 2) if ax_ else (0, 0)
 
     prob = jnp.asarray(prob, dtype=jnp.float32)
     vz, vy, vx = prob.shape
     sz = max(ceil_div(vz, nz), hzl, hzh, 1)
-    sy = max(ceil_div(vy, ny), hyl, hyh, 1) if two_d else vy
-    vz_p, vy_p = nz * sz, ny * sy
-    if (vz_p, vy_p) != (vz, vy):
+    sy = max(ceil_div(vy, ny), hyl, hyh, 1) if ay else vy
+    sx = max(ceil_div(vx, nx), hxl, hxh, 1) if ax_ else vx
+    vz_p, vy_p, vx_p = nz * sz, ny * sy, nx * sx
+    if (vz_p, vy_p, vx_p) != (vz, vy, vx):
         prob = jnp.pad(
-            prob, ((0, vz_p - vz), (0, vy_p - vy), (0, 0)),
+            prob, ((0, vz_p - vz), (0, vy_p - vy), (0, vx_p - vx)),
             constant_values=-jnp.inf,
         )
-    max_per_shard = min(max_per_shard, sz * sy * vx)  # top_k k <= block
+    max_per_shard = min(max_per_shard, sz * sy * sx)  # top_k k <= block
 
-    negz = jnp.full((max(hzl, hzh), sy, vx), -jnp.inf, dtype=jnp.float32)
+    negz = jnp.full((max(hzl, hzh), sy, sx), -jnp.inf, dtype=jnp.float32)
     negy = jnp.full(
-        (sz + hzl + hzh, max(hyl, hyh, 1), vx), -jnp.inf, dtype=jnp.float32
+        (sz + hzl + hzh, max(hyl, hyh, 1), sx), -jnp.inf,
+        dtype=jnp.float32,
+    )
+    negx = jnp.full(
+        (sz + hzl + hzh, sy + hyl + hyh, max(hxl, hxh, 1)), -jnp.inf,
+        dtype=jnp.float32,
     )
 
-    if two_d:
-        in_specs = (P(az, ay, None),)
-        out_specs = (P((az, ay), None), P((az, ay)), P((az, ay)))
-    else:
-        in_specs = (P(az, None, None),)
-        out_specs = (P(az, None), P(az), P(az))
+    xspec = ax_ if ax_ else None
+    grp = tuple(axes) if len(axes) > 1 else az
+    in_specs = (P(az, ay, xspec),)
+    out_specs = (P(grp, None), P(grp), P(grp))
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
@@ -276,9 +310,14 @@ def sharded_nms(
         ext = _exchange_extend(
             slab, negz[:hzl], negz[:hzh], hzl, hzh, az, dim=0
         )
-        if two_d:
+        if ay:
             ext = _exchange_extend(
                 ext, negy[:, :hyl], negy[:, :hyh], hyl, hyh, ay, dim=1
+            )
+        if ax_:
+            ext = _exchange_extend(
+                ext, negx[:, :, :hxl], negx[:, :, :hxh], hxl, hxh, ax_,
+                dim=2,
             )
         # separable max filter: valid passes where the halo provides the
         # padding, interior-padded passes elsewhere
@@ -286,39 +325,46 @@ def sharded_nms(
             ext, -jnp.inf, lax.max, (wz, 1, 1), (1, 1, 1),
             [(0, 0), (0, 0), (0, 0)],
         )
-        ypad = (0, 0) if two_d else (wy // 2, wy - 1 - wy // 2)
+        ypad = (0, 0) if ay else (wy // 2, wy - 1 - wy // 2)
         mf = lax.reduce_window(
             mf, -jnp.inf, lax.max, (1, wy, 1), (1, 1, 1),
             [(0, 0), ypad, (0, 0)],
         )
+        xpad = (0, 0) if ax_ else (wx // 2, wx - 1 - wx // 2)
         mf = lax.reduce_window(
             mf, -jnp.inf, lax.max, (1, 1, wx), (1, 1, 1),
-            [(0, 0), (0, 0), (wx // 2, wx - 1 - wx // 2)],
+            [(0, 0), (0, 0), xpad],
         )
         mask = (slab == mf) & (slab >= threshold)
         flat = jnp.where(mask.reshape(-1), slab.reshape(-1), -jnp.inf)
         conf, idx = lax.top_k(flat, max_per_shard)
         valid = conf > -jnp.inf
-        z = idx // (sy * vx) + zi * sz  # global z
-        rem = idx % (sy * vx)
-        y = rem // vx
-        if two_d:
+        z = idx // (sy * sx) + zi * sz  # global z
+        rem = idx % (sy * sx)
+        y = rem // sx
+        x = rem % sx
+        if ay:
             y = y + lax.axis_index(ay) * sy
-        locs = jnp.stack([z, y, rem % vx], axis=1).astype(jnp.int32)
+        if ax_:
+            x = x + lax.axis_index(ax_) * sx
+        locs = jnp.stack([z, y, x], axis=1).astype(jnp.int32)
         return locs, conf, valid
 
     locs, conf, valid = jax.device_get(jax.jit(fn)(prob))  # one transfer
-    n_shards = nz * ny
+    n_shards = nz * ny * nx
     if (
-        max_per_shard < sz * sy * vx
+        max_per_shard < sz * sy * sx
         and valid.reshape(n_shards, -1).all(axis=1).any()
     ):
         # a shard saturated its top-k: grow and retry so no candidate is
         # silently dropped (same self-healing as ops.nms.nms)
         return sharded_nms(
-            prob[:vz, :vy], mesh, axis, window, threshold, max_per_shard * 4
+            prob[:vz, :vy, :vx], mesh, axis, window, threshold,
+            max_per_shard * 4,
         )
-    keep = valid & (locs[:, 0] < vz) & (locs[:, 1] < vy)
+    keep = (
+        valid & (locs[:, 0] < vz) & (locs[:, 1] < vy) & (locs[:, 2] < vx)
+    )
     return sort_detections(locs[keep].astype(np.float64), conf[keep])
 
 
@@ -330,7 +376,7 @@ def sharded_components(
     max_components: int = 1024,
 ) -> Tbars:
     """Connected components on a sharded probability map with an exact
-    cross-shard seam merge (1-D or 2-D spatial mesh).
+    cross-shard seam merge (1-D, 2-D, or 3-D spatial mesh).
 
     Each shard labels its block on device (flypylib_tpu.ops.components
     core) and exports, besides its compacted component stats, the
@@ -346,34 +392,33 @@ def sharded_components(
     )
 
     axes = _axes_tuple(axis)
-    two_d = len(axes) == 2
     az = axes[0]
-    ay = axes[1] if two_d else None
+    ay = axes[1] if len(axes) > 1 else None
+    ax_ = axes[2] if len(axes) > 2 else None
     nz = mesh.shape[az]
-    ny = mesh.shape[ay] if two_d else 1
+    ny = mesh.shape[ay] if ay else 1
+    nx = mesh.shape[ax_] if ax_ else 1
     prob = jnp.asarray(prob, dtype=jnp.float32)
     vz, vy, vx = prob.shape
     sz = max(ceil_div(vz, nz), 1)
-    sy = max(ceil_div(vy, ny), 1) if two_d else vy
-    vz_p, vy_p = nz * sz, ny * sy
-    if (vz_p, vy_p) != (vz, vy):
+    sy = max(ceil_div(vy, ny), 1) if ay else vy
+    sx = max(ceil_div(vx, nx), 1) if ax_ else vx
+    vz_p, vy_p, vx_p = nz * sz, ny * sy, nx * sx
+    if (vz_p, vy_p, vx_p) != (vz, vy, vx):
         prob = jnp.pad(
-            prob, ((0, vz_p - vz), (0, vy_p - vy), (0, 0)),
+            prob, ((0, vz_p - vz), (0, vy_p - vy), (0, vx_p - vx)),
             constant_values=-jnp.inf,
         )
-    block_nvox = sz * sy * vx
+    block_nvox = sz * sy * sx
     # cc_label_and_extract clamps K to the block voxel count internally;
     # mirror that here so the stacked output shapes stay (n_shards, K)
     K = min(max_components, block_nvox)
 
-    if two_d:
-        in_specs = (P(az, ay, None),)
-        ax0 = (az, ay)
-    else:
-        in_specs = (P(az, None, None),)
-        ax0 = az
+    xspec = ax_ if ax_ else None
+    in_specs = (P(az, ay, xspec),)
+    ax0 = tuple(axes) if len(axes) > 1 else az
     g1, g2 = P(ax0), P(ax0, None)
-    out_specs = (g1, g2, g1, g1, g1, g1, g2, g2, g2, g2)
+    out_specs = (g1, g2, g1, g1, g1, g1, g2, g2, g2, g2, g2, g2)
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
@@ -386,47 +431,59 @@ def sharded_components(
         return (
             uniq, sums, count, conf, valid, over[None],
             lab[0], lab[sz - 1], lab[:, 0], lab[:, sy - 1],
+            lab[:, :, 0], lab[:, :, sx - 1],
         )
 
     res = jax.device_get(jax.jit(fn)(prob))  # one transfer
-    uniq, sums, count, conf, valid, over, zlo, zhi, ylo, yhi = res
+    uniq, sums, count, conf, valid, over, zlo, zhi, ylo, yhi, xlo, xhi = (
+        res
+    )
     if bool(np.asarray(over).any()):
         return sharded_components(
-            prob[:vz, :vy], mesh, axis, threshold, max_components * 4
+            prob[:vz, :vy, :vx], mesh, axis, threshold, max_components * 4
         )
 
-    uniq = np.asarray(uniq).reshape(nz, ny, K)
-    sums = np.array(sums, np.float64).reshape(nz, ny, K, 3)
-    count = np.asarray(count, np.float64).reshape(nz, ny, K)
-    conf = np.asarray(conf).reshape(nz, ny, K)
-    valid = np.asarray(valid).reshape(nz, ny, K)
-    zlo = np.asarray(zlo).reshape(nz, ny, sy, vx)
-    zhi = np.asarray(zhi).reshape(nz, ny, sy, vx)
-    ylo = np.asarray(ylo).reshape(nz, ny, sz, vx)
-    yhi = np.asarray(yhi).reshape(nz, ny, sz, vx)
+    grid = (nz, ny, nx)
+    uniq = np.asarray(uniq).reshape(*grid, K)
+    sums = np.array(sums, np.float64).reshape(*grid, K, 3)
+    count = np.asarray(count, np.float64).reshape(*grid, K)
+    conf = np.asarray(conf).reshape(*grid, K)
+    valid = np.asarray(valid).reshape(*grid, K)
+    zlo = np.asarray(zlo).reshape(*grid, sy, sx)
+    zhi = np.asarray(zhi).reshape(*grid, sy, sx)
+    ylo = np.asarray(ylo).reshape(*grid, sz, sx)
+    yhi = np.asarray(yhi).reshape(*grid, sz, sx)
+    xlo = np.asarray(xlo).reshape(*grid, sz, sy)
+    xhi = np.asarray(xhi).reshape(*grid, sz, sy)
 
     # globalize coordinate sums by each shard's corner
     blocks = {}
     for iz in range(nz):
         for iy in range(ny):
-            s = sums[iz, iy].copy()
-            s[:, 0] += iz * sz * count[iz, iy]
-            s[:, 1] += iy * sy * count[iz, iy]
-            blocks[(iz, iy, 0)] = {
-                "uniq": uniq[iz, iy],
-                "sums": s,
-                "count": count[iz, iy],
-                "conf": conf[iz, iy],
-                "valid": valid[iz, iy],
-                "faces": [
-                    zlo[iz, iy], zhi[iz, iy],
-                    ylo[iz, iy], yhi[iz, iy],
-                    None, None,  # x never sharded
-                ],
-            }
+            for ix in range(nx):
+                i = (iz, iy, ix)
+                s = sums[i].copy()
+                s[:, 0] += iz * sz * count[i]
+                s[:, 1] += iy * sy * count[i]
+                s[:, 2] += ix * sx * count[i]
+                blocks[i] = {
+                    "uniq": uniq[i],
+                    "sums": s,
+                    "count": count[i],
+                    "conf": conf[i],
+                    "valid": valid[i],
+                    "faces": [
+                        zlo[i], zhi[i],
+                        ylo[i], yhi[i],
+                        xlo[i], xhi[i],
+                    ],
+                }
 
     det = merge_component_fragments(blocks, block_nvox)
     if len(det) == 0:
         return det
-    keep = (det.locs[:, 0] < vz) & (det.locs[:, 1] < vy)
+    keep = (
+        (det.locs[:, 0] < vz) & (det.locs[:, 1] < vy)
+        & (det.locs[:, 2] < vx)
+    )
     return Tbars(locs=det.locs[keep], conf=det.conf[keep])

@@ -30,6 +30,15 @@ def make_mesh_2d(shape: tuple[int, int], axes=("data", "space")) -> Mesh:
     return Mesh(devs, axes)
 
 
+def make_mesh_3d(
+    shape: tuple[int, int, int], axes=("spacez", "spacey", "spacex")
+) -> Mesh:
+    devs = np.array(
+        jax.devices()[: shape[0] * shape[1] * shape[2]]
+    ).reshape(shape)
+    return Mesh(devs, axes)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -377,3 +377,109 @@ def test_sharded_infer_2d_packed_spec(rng):
                       axis=("spacez", "spacey"))
     )
     np.testing.assert_allclose(shard, mono, rtol=2e-4, atol=2e-4)
+
+
+@pytest.fixture(scope="module")
+def mesh3d():
+    from flypylib_tpu.parallel import make_mesh_3d
+
+    return make_mesh_3d((2, 2, 2))
+
+
+AX3 = ("spacez", "spacey", "spacex")
+
+
+def test_sharded_infer_3d_equals_monolithic(small_model, mesh3d, rng):
+    spec, variables = small_model
+    vol = rng.random((20, 18, 16)).astype(np.float32)
+    mono = monolithic(spec, variables, vol)
+    shard = np.asarray(
+        sharded_infer(spec, variables, vol, mesh3d, axis=AX3)
+    )
+    np.testing.assert_array_equal(shard, mono)
+
+
+def test_sharded_infer_3d_nondivisible(small_model, mesh3d, rng):
+    """Non-divisible extents + 3-D-corner-dependent voxels stay bitwise
+    (corner data rides the three-hop z->y->x exchange)."""
+    spec, variables = small_model
+    vol = rng.random((21, 15, 13)).astype(np.float32)
+    mono = monolithic(spec, variables, vol)
+    shard = np.asarray(
+        sharded_infer(spec, variables, vol, mesh3d, axis=AX3)
+    )
+    np.testing.assert_array_equal(shard, mono)
+
+
+def test_sharded_nms_3d_seams(mesh3d):
+    """Peaks at z-, y-, and x-seams, plus the triple seam corner."""
+    vol = np.zeros((16, 16, 16), dtype=np.float32)
+    for z, y, x, v in [
+        (7, 4, 4, 0.9), (8, 12, 4, 0.8),     # z seam, both sides
+        (4, 7, 4, 0.95), (4, 8, 12, 0.7),    # y seam, both sides
+        (4, 12, 7, 0.85), (12, 4, 8, 0.84),  # x seam, both sides
+        (7, 8, 7, 0.99), (8, 7, 8, 0.98),    # around the triple corner
+    ]:
+        vol[z, y, x] = v
+    host = nms_host(vol, window=3, threshold=0.5)
+    dev = sharded_nms(vol, mesh3d, axis=AX3, window=3, threshold=0.5,
+                      max_per_shard=16)
+    np.testing.assert_array_equal(host.locs, dev.locs)
+    np.testing.assert_allclose(host.conf, dev.conf, rtol=1e-6)
+
+
+def test_sharded_nms_3d_random(mesh3d, rng):
+    vol = rng.random((19, 17, 15)).astype(np.float32)
+    host = nms_host(vol, window=5, threshold=0.85)
+    dev = sharded_nms(vol, mesh3d, axis=AX3, window=5, threshold=0.85,
+                      max_per_shard=256)
+    assert len(host) > 0
+    np.testing.assert_array_equal(host.locs, dev.locs)
+    np.testing.assert_allclose(host.conf, dev.conf, rtol=1e-6)
+
+
+def test_sharded_components_3d(mesh3d):
+    from flypylib_tpu.ops.host_reference import components_host
+    from flypylib_tpu.parallel.halo import sharded_components
+    from tests.test_detect_ops import assert_same_detections
+
+    vol = np.zeros((16, 16, 16), dtype=np.float32)
+    vol[6:10, 8, 8] = 0.8       # spans the z seam
+    vol[8, 6:10, 3] = 0.9       # spans the y seam
+    vol[3, 8, 6:10] = 0.7       # spans the x seam
+    vol[6:10, 6:10, 6:10] = 0.6  # blob through the triple corner
+    vol[7, 7, 3] = 0.5          # diagonal pair across the x seam:
+    vol[8, 8, 4] = 0.55         # must stay TWO components (6-conn)
+    host = components_host(vol, threshold=0.45)
+    dev = sharded_components(vol, mesh3d, axis=AX3, threshold=0.45,
+                             max_components=64)
+    assert_same_detections(host, dev, loc_tol=1e-4)
+
+
+def test_sharded_components_3d_random(mesh3d, rng):
+    from flypylib_tpu.ops.host_reference import components_host
+    from flypylib_tpu.parallel.halo import sharded_components
+    from tests.test_detect_ops import assert_same_detections
+
+    vol = (rng.random((19, 17, 14)) > 0.75).astype(np.float32)
+    host = components_host(vol, threshold=0.5)
+    dev = sharded_components(vol, mesh3d, axis=AX3, threshold=0.5,
+                             max_components=1024)
+    assert len(host) > 10
+    assert_same_detections(host, dev, loc_tol=1e-3)
+
+
+def test_sharded_infer_3d_packed_spec(mesh3d, rng):
+    """3-D sharding composes with the packed engine (size_multiple=2)."""
+    from flypylib_tpu.ops.packed_conv import packed_spec
+
+    spec = baseline_model(features=(4, 6), dilations=(1, 2),
+                          head_features=8, dtype=jnp.float32)
+    pspec = packed_spec(spec)
+    variables = spec.init(jax.random.PRNGKey(0), 16)
+    vol = rng.random((20, 18, 16)).astype(np.float32)
+    mono = monolithic(spec, variables, vol)
+    shard = np.asarray(
+        sharded_infer(pspec, variables, vol, mesh3d, axis=AX3)
+    )
+    np.testing.assert_allclose(shard, mono, rtol=2e-4, atol=2e-4)
