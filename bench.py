@@ -165,8 +165,12 @@ def bench_staged_1k(size: int = 1024, core: int = 512):
 
     # core=512: ROI halo redundancy (528/512)^3 = 1.10 vs 1.20 at core
     # 256, and 8 ROIs instead of 64 cut the per-ROI postprocess
-    # roundtrips 8x (measured sweep in BENCH_NOTES.md round 2)
-    common = dict(window=5, threshold=thr, max_detections_per_roi=8192)
+    # roundtrips 8x (measured sweep in BENCH_NOTES.md round 2).
+    # k=32768 clears the ~15k candidates/ROI the 0.9999-quantile
+    # operating point yields at this core size — a saturated k would
+    # silently time the grow-and-retry second pass.
+    common = dict(window=5, threshold=thr,
+                  max_detections_per_roi=32768)
     plan = make_stream_plan(pspec, variables, vol.shape, core=core,
                             **common)
 

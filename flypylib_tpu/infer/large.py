@@ -235,11 +235,13 @@ class _StreamPlan:
         COLLECTED ``window`` ROIs later, so the host never blocks a
         device round-trip while the device still has queued forwards —
         per-ROI wire latency rides entirely under compute.  The window
-        bounds in-flight prob-map buffers (one per uncollected ROI).
+        bounds in-flight prob-map buffers (one per uncollected ROI; the
+        map reference is kept until collection so a saturation
+        grow-and-retry reruns only the postprocess, never the forward).
 
-        ``redo(key, corner) -> device prob map`` recomputes one ROI's
-        forward for the rare saturation grow-and-retry (the pipeline has
-        dropped the map reference by collection time).
+        ``redo(key, corner) -> device prob map`` is a fallback recompute
+        for retries (kept for API compatibility; the held reference makes
+        it unnecessary in practice).
         """
         from collections import deque
 
@@ -258,7 +260,7 @@ class _StreamPlan:
     def _dispatch(self, key, corner, out, lo_want, vlo, vhi):
         rec = {
             "key": key, "corner": corner, "lo_want": lo_want,
-            "vlo": vlo, "vhi": vhi,
+            "vlo": vlo, "vhi": vhi, "out": out,
         }
         if self.want_nms:
             rec["nms"] = self.pipe.postprocess_start(out, vlo, vhi)
@@ -276,7 +278,13 @@ class _StreamPlan:
     def _collect(self, rec, progress, redo):
         key, corner = rec["key"], rec["corner"]
         lo_want, vlo, vhi = rec["lo_want"], rec["vlo"], rec["vhi"]
-        provider = (lambda: redo(key, corner)) if redo is not None else None
+        out = rec.pop("out", None)
+        if out is not None:
+            provider = lambda: out  # noqa: E731 — rerun post, not forward
+        elif redo is not None:
+            provider = lambda: redo(key, corner)  # noqa: E731
+        else:
+            provider = None
         core_dims, shape, ctx = self.core_dims, self.shape, self.ctx
         n_own = 0
         if self.want_nms:
