@@ -170,6 +170,7 @@ class _StreamPlan:
             run_cc=False, pre_padded=True,
         )
         self.K = max_components_per_roi
+        self.F = 8192  # sparse-face slots per ROI face (grows on retry)
 
     def region(self, corner):
         """(lo_want, vlo, vhi) for an ROI corner: the wanted fetch box and
@@ -184,16 +185,20 @@ class _StreamPlan:
         ]
         return lo_want, vlo, vhi
 
-    def _cc_fn(self, K: int):
+    def _cc_fn(self, K: int, F: int):
         try:
-            return self._cc_cache[K]
+            return self._cc_cache[(K, F)]
         except (AttributeError, KeyError):
             pass
-        from flypylib_tpu.ops.components import cc_label_and_extract
+        from flypylib_tpu.ops.components import (
+            cc_label_and_extract,
+            compact_true_indices,
+        )
 
         vz, vy, vx = self.pipe.vol_shape
         h = self.h
         cz, cy, cx = self.core_dims
+        sentinel = cz * cy * cx
 
         @jax.jit
         def f(out, vlo, vhi, thr):
@@ -213,18 +218,56 @@ class _StreamPlan:
             uniq, sums, count, conf, valid, over, lab = (
                 cc_label_and_extract(corep, thr, K)
             )
-            faces = (
+            # sparse face export: a 512^2 label plane is megabytes on
+            # the tunnel per ROI, but only labeled (above-threshold)
+            # face voxels can seam-merge — ship (position, label) pairs
+            # compacted to F slots per face; overflow joins the
+            # grow-and-retry flag
+            faces = []
+            for plane in (
                 lab[0], lab[cz - 1],
                 lab[:, 0], lab[:, cy - 1],
                 lab[:, :, 0], lab[:, :, cx - 1],
-            )
+            ):
+                flat = plane.reshape(-1)
+                m = flat < sentinel
+                fcap = min(F, flat.shape[0])
+                idx = compact_true_indices(m, fcap)
+                v = idx < flat.shape[0]
+                labs = jnp.where(
+                    v,
+                    flat[jnp.minimum(idx, flat.shape[0] - 1)],
+                    sentinel,
+                )
+                if fcap < flat.shape[0]:
+                    over = over | (
+                        jnp.sum(m, dtype=jnp.int32) > fcap
+                    )
+                faces.append((idx, labs))
             return uniq, sums, count, conf, valid, over, faces
 
         cache = getattr(self, "_cc_cache", None)
         if cache is None:
             cache = self._cc_cache = {}
-        cache[K] = f
+        cache[(K, F)] = f
         return f
+
+    def _dense_faces(self, faces):
+        """Rebuild dense face label planes from the sparse export (host
+        side; merge_component_fragments consumes dense planes)."""
+        cz, cy, cx = self.core_dims
+        sentinel = cz * cy * cx
+        shapes = [(cy, cx), (cy, cx), (cz, cx), (cz, cx), (cz, cy),
+                  (cz, cy)]
+        dense = []
+        for (idx, labs), shp in zip(faces, shapes):
+            d = np.full(shp[0] * shp[1], sentinel, np.int32)
+            idx = np.asarray(idx)
+            labs = np.asarray(labs)
+            v = idx < d.size
+            d[idx[v]] = labs[v]
+            dense.append(d.reshape(shp))
+        return dense
 
     def consume(self, outs, progress=None, redo=None):
         """Drain an iterator of ``(key, corner, out_device, lo_want, vlo,
@@ -267,12 +310,12 @@ class _StreamPlan:
         if self.want_cc:
             lo_j = jnp.asarray(vlo, jnp.int32)
             hi_j = jnp.asarray(vhi, jnp.int32)
-            cc = self._cc_fn(self.K)(
+            cc = self._cc_fn(self.K, self.F)(
                 out, lo_j, hi_j, jnp.float32(self.threshold)
             )
             for leaf in jax.tree.leaves(cc):
                 leaf.copy_to_host_async()
-            rec["cc"], rec["cc_K"] = cc, self.K
+            rec["cc"], rec["cc_KF"] = cc, (self.K, self.F)
         return rec
 
     def _collect(self, rec, progress, redo):
@@ -310,7 +353,7 @@ class _StreamPlan:
             self._all_conf.append(nms_det.conf[own])
             n_own = int(own.sum())
         if self.want_cc:
-            K, res = rec["cc_K"], rec["cc"]
+            (K, F), res = rec["cc_KF"], rec["cc"]
             while True:
                 # ONE bulk device->host transfer per ROI (each array
                 # would otherwise cost a tunnel roundtrip)
@@ -320,13 +363,15 @@ class _StreamPlan:
                 if not bool(over):
                     break
                 K *= 4
-                self.K = max(self.K, K)  # later ROIs reuse the size
+                F *= 4
+                self.K = max(self.K, K)  # later ROIs reuse the sizes
+                self.F = max(self.F, F)
                 if provider is None:
                     raise RuntimeError(
                         "CC overflowed and the prob map is gone; pass "
                         "redo= to enable grow-and-retry"
                     )
-                res = self._cc_fn(K)(
+                res = self._cc_fn(K, F)(
                     provider(), jnp.asarray(vlo, jnp.int32),
                     jnp.asarray(vhi, jnp.int32),
                     jnp.float32(self.threshold),
@@ -341,7 +386,7 @@ class _StreamPlan:
                 "count": count,
                 "conf": conf,
                 "valid": valid,
-                "faces": list(faces),
+                "faces": self._dense_faces(faces),
             }
         if progress:
             progress(corner, n_own)

@@ -36,18 +36,51 @@ from flypylib_tpu.ops.host_reference import sort_detections
 def compact_true_indices(mask_flat: jax.Array, size: int) -> jax.Array:
     """First ``size`` True positions, ascending, padded with ``n``.
 
-    Drop-in for ``jnp.nonzero(mask, size=..., fill_value=n)[0]`` — but via
-    cumsum + searchsorted instead of XLA's nonzero lowering, which
-    scatter-compacts the full volume (measured 150 ms vs 15 ms at 256^3
-    on v5e; experiments/post_profile.py).  The j-th candidate's flat
-    index is the first position where the running count reaches j, and
-    queries past the total count fall off the end == the fill value.
+    Drop-in for ``jnp.nonzero(mask, size=..., fill_value=n)[0]`` — but
+    without XLA's nonzero lowering (scatter-compacts the full volume;
+    measured 150 ms vs 15 ms at 256^3) and without a flat
+    cumsum+searchsorted (whose binary search does log2(n) rounds of
+    random scalar gathers into the full-volume array — measured 387 ms
+    at 512^3 with 524k queries; experiments/cc_profile.jsonl).
+
+    Two-level scheme, gathers kept small or contiguous:
+
+    - reshape to (R, 128) blocks; per-block candidate counts (one pass)
+      and a block-offset cumsum over R elements;
+    - find each query's block by binary search in the SMALL offset array;
+    - gather each query's 512-byte intra-block cumsum row (contiguous
+      row gather — DMA-friendly, unlike scalar gathers) and resolve the
+      in-block position with a vectorized compare-count.
+
+    The j-th candidate's flat index is the first position where the
+    running count reaches j; queries past the total count return ``n``.
     """
     n = mask_flat.shape[0]
-    pos = jnp.cumsum(mask_flat.astype(jnp.int32))
-    return jnp.searchsorted(
-        pos, jnp.arange(1, size + 1, dtype=jnp.int32)
-    ).astype(jnp.int32)
+    M = 128
+    if n <= (1 << 16) or size >= n:  # small cases: one-level is fine
+        pos = jnp.cumsum(mask_flat.astype(jnp.int32))
+        return jnp.searchsorted(
+            pos, jnp.arange(1, size + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)
+    pad = (-n) % M
+    if pad:
+        mask_flat = jnp.concatenate(
+            [mask_flat, jnp.zeros((pad,), mask_flat.dtype)]
+        )
+    R = (n + pad) // M
+    blk = mask_flat.reshape(R, M).astype(jnp.int32)
+    icum = jnp.cumsum(blk, axis=1)  # (R, M) running count within block
+    boff = jnp.cumsum(icum[:, -1])  # (R,) inclusive block offsets
+    q = jnp.arange(1, size + 1, dtype=jnp.int32)
+    blkid = jnp.searchsorted(boff, q).astype(jnp.int32)  # small array
+    inb = blkid < R
+    safe_blk = jnp.minimum(blkid, R - 1)
+    base = jnp.where(safe_blk > 0, boff[safe_blk - 1], 0)
+    rows = icum[safe_blk]  # (size, M) contiguous row gather
+    qq = (q - base)[:, None]
+    pos_in = jnp.sum(rows < qq, axis=1, dtype=jnp.int32)
+    idx = safe_blk * M + pos_in
+    return jnp.where(inb & (idx < n), idx, n).astype(jnp.int32)
 
 
 def _neighbor_min(lab: jax.Array, mask: jax.Array, sentinel) -> jax.Array:

@@ -169,3 +169,37 @@ def test_components_candidate_overflow_retries(rng):
     host = components_host(vol, threshold=0.5)
     dev = label_components(vol, threshold=0.5, max_components=4)
     assert_same_detections(host, dev, loc_tol=1e-3)
+
+
+def test_compact_true_indices_matches_nonzero(rng):
+    """The two-level compaction == jnp.nonzero(size=, fill_value=n) for
+    every size/pattern class (empty, dense, sparse, block-boundary,
+    larger-than-count, non-multiple-of-block lengths)."""
+    import jax.numpy as jnp
+
+    from flypylib_tpu.ops.components import compact_true_indices
+
+    cases = []
+    for n in (1, 100, 1 << 16, (1 << 16) + 1, 200_000, 299_999):
+        cases.append((np.zeros(n, bool), 16))
+        cases.append((np.ones(n, bool), 16))
+        cases.append((rng.random(n) < 0.01, 64))
+        cases.append((rng.random(n) < 0.5, 128))
+    # block-boundary pattern: candidates exactly at 128-multiples
+    m = np.zeros(200_000, bool)
+    m[::128] = True
+    cases.append((m, 2000))
+    # size exceeding the true count
+    m2 = np.zeros(300_000, bool)
+    m2[[5, 131071, 131072, 131073, 299_999]] = True
+    cases.append((m2, 32))
+    for mask, size in cases:
+        n = mask.shape[0]
+        want = np.asarray(
+            jnp.nonzero(jnp.asarray(mask), size=min(size, n),
+                        fill_value=n)[0]
+        )
+        got = np.asarray(
+            compact_true_indices(jnp.asarray(mask), min(size, n))
+        )
+        np.testing.assert_array_equal(got, want)
