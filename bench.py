@@ -12,11 +12,12 @@ Three throughputs are reported (round-2 judge contract):
 - ``device_resident_mvox_s``: same work with the volume pre-staged in
   HBM — the chip's real number, wire excluded (eval "device-resident"
   config; the 38 MB/s tunnel otherwise caps everything).
-- ``streaming_1k_mvox_s``: 1024^3 whole-volume detection end-to-end
-  (one uint8 HBM staging upload + device-sliced ROI sweep via
-  infer/large.detect_staged; eval config 2, BASELINE.json:8), with
-  ``device_resident_1k_mvox_s`` as its chip-bound (wire-excluded) half —
-  the north-star per-chip number at 1k^3 [B:5].
+- ``streaming_1k_mvox_s``: 1024^3 whole-volume predict + NMS + CC
+  end-to-end (one uint8 HBM staging upload + device-sliced ROI sweep
+  via infer/large.detect_staged, method="both"; eval config 2,
+  BASELINE.json:8), with ``device_resident_1k_mvox_s`` as its
+  chip-bound (wire-excluded) half — the north-star per-chip number at
+  1k^3 [B:5].
 
 ``vs_baseline`` is the speedup over the CPU reference path
 (flypylib-equivalent: jax-CPU conv forward + scipy NMS/CC on host,
@@ -135,7 +136,8 @@ def bench_tpu(size: int = 256, tile_out: int = 64, tile_batch: int = 16):
 
 
 def bench_staged_1k(size: int = 1024, core: int = 512):
-    """Eval config 2 [B:8] / north star [B:5]: 1k^3 whole-volume detection.
+    """Eval config 2 [B:8] / north star [B:5]: 1k^3 whole-volume
+    predict + NMS + CC (method="both", sparse CC backend).
 
     The volume is staged in HBM ONCE (uint8 — the single wire transfer),
     then every ROI block is sliced device-to-device
@@ -170,7 +172,8 @@ def bench_staged_1k(size: int = 1024, core: int = 512):
     # operating point yields at this core size — a saturated k would
     # silently time the grow-and-retry second pass.
     common = dict(window=5, threshold=thr,
-                  max_detections_per_roi=32768)
+                  max_detections_per_roi=32768,
+                  max_components_per_roi=32768, method="both")
     plan = make_stream_plan(pspec, variables, vol.shape, core=core,
                             **common)
 
@@ -189,15 +192,16 @@ def bench_staged_1k(size: int = 1024, core: int = 512):
     plan.grid = grid
 
     t0 = time.perf_counter()
-    det = detect_staged(pspec, variables, vol, staged=staged, plan=plan,
-                        **common)
+    nms_det, cc_det = detect_staged(pspec, variables, vol, staged=staged,
+                                    plan=plan, **common)
     dt = time.perf_counter() - t0
     return {
         "streaming_1k_mvox_s": vol.size / (t_up + dt) / 1e6,
         "device_resident_1k_mvox_s": vol.size / dt / 1e6,
         "staged_1k_upload_seconds": t_up,
         "device_resident_1k_seconds": dt,
-        "streaming_1k_detections": len(det),
+        "streaming_1k_detections": len(nms_det),
+        "streaming_1k_components": len(cc_det),
     }
 
 

@@ -23,14 +23,25 @@ ROI *i*'s postprocess transfer blocks the host.  Semantics:
   detection at a seam is reported exactly once, with exactly the
   monolithic decision.  Pinned by tests/test_large.py: chunked == full
   volume, bit-for-bit.
-- **Connected components** (``method="components"``): each core ROI labels
-  its own (disjoint) core box on device and exports, besides its
-  compacted component stats, the converged label ids of its six boundary
-  faces.  A host union-find then merges components whose boundary voxels
-  are 6-adjacent across ROI seams (same trick as
-  flypylib_tpu.parallel.halo.sharded_components, extended to a 3-D ROI
-  grid), so centroids/confidences equal a monolithic
-  ``scipy.ndimage.label`` run exactly.  Pinned by tests/test_large.py on
+- **Connected components** (``method="components"``), two exact
+  backends selected by ``cc_impl``:
+
+  * ``"sparse"`` (default): each core ROI compacts ALL its
+    above-threshold core voxels on device and ships only the tiny
+    (index, prob) candidate list; one host ``scipy.sparse.csgraph`` pass
+    over the global union then labels components with exact
+    6-connectivity (ops.components.components_from_candidates).  Work
+    scales with candidate count — the right trade for the ~0.01-1%
+    occupied masks synapse detection produces.
+  * ``"device"``: each core ROI labels its (disjoint) core box on device
+    (label-propagation sweeps) and exports compacted component stats
+    plus sparse boundary-face labels; a host union-find merges
+    components that are 6-adjacent across ROI seams (same trick as
+    flypylib_tpu.parallel.halo.sharded_components, extended to a 3-D
+    ROI grid).  Better when masks are dense (e.g. membrane maps).
+
+  Both produce centroids/confidences equal to a monolithic
+  ``scipy.ndimage.label`` run exactly — pinned by tests/test_large.py on
   non-divisible cores.
 """
 
@@ -123,12 +134,16 @@ class _StreamPlan:
         max_detections_per_roi: int,
         max_components_per_roi: int,
         method: str,
+        cc_impl: str = "sparse",
     ):
         if method not in ("nms", "components", "both"):
             raise ValueError(f"unknown method {method!r}")
+        if cc_impl not in ("sparse", "device"):
+            raise ValueError(f"unknown cc_impl {cc_impl!r}")
         self.want_nms = method in ("nms", "both")
         self.want_cc = method in ("components", "both")
         self.method = method
+        self.cc_impl = cc_impl
         self.threshold = threshold
 
         self.shape = shape = to3d(shape)
@@ -171,6 +186,9 @@ class _StreamPlan:
         )
         self.K = max_components_per_roi
         self.F = 8192  # sparse-face slots per ROI face (grows on retry)
+        # sparse-CC candidate slots per ROI (grows on retry); sized so
+        # the steady-state wire cost stays ~0.5 MB/ROI
+        self.C = 65536
 
     def region(self, corner):
         """(lo_want, vlo, vhi) for an ROI corner: the wanted fetch box and
@@ -252,6 +270,56 @@ class _StreamPlan:
         cache[(K, F)] = f
         return f
 
+    def _cc_sparse_fn(self, C: int):
+        """Sparse CC extraction: compact ALL above-threshold core voxels
+        to C (local flat index, prob) slots.  The synapse masks this
+        detector targets are ~0.01-1% occupied, so shipping the candidate
+        set (and running one exact host csgraph CC over the global union
+        — ops.components.components_from_candidates) beats running dense
+        label-propagation sweeps over every ROI; overflow grows C and
+        retries, so dense masks stay exact too."""
+        try:
+            return self._cc_sparse_cache[C]
+        except (AttributeError, KeyError):
+            pass
+        from flypylib_tpu.ops.components import compact_true_indices
+
+        vz, vy, vx = self.pipe.vol_shape
+        h = self.h
+        cz, cy, cx = self.core_dims
+        n = cz * cy * cx
+
+        @jax.jit
+        def f(out, vlo, vhi, thr):
+            prob = out[:vz, :vy, :vx]
+            zz = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 0)
+            yy = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 1)
+            xx = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 2)
+            inb = (
+                (zz >= vlo[0]) & (zz < vhi[0])
+                & (yy >= vlo[1]) & (yy < vhi[1])
+                & (xx >= vlo[2]) & (xx < vhi[2])
+            )
+            prob = jnp.where(inb, prob, -jnp.inf)
+            corep = jax.lax.slice(
+                prob, (h, h, h), (h + cz, h + cy, h + cx)
+            ).reshape(-1)
+            m = corep >= thr
+            cap = min(C, n)
+            idx = compact_true_indices(m, cap)
+            v = idx < n
+            probs = jnp.where(
+                v, corep[jnp.minimum(idx, n - 1)], -jnp.inf
+            )
+            over = jnp.sum(m, dtype=jnp.int32) > cap
+            return idx, probs, over
+
+        cache = getattr(self, "_cc_sparse_cache", None)
+        if cache is None:
+            cache = self._cc_sparse_cache = {}
+        cache[C] = f
+        return f
+
     def _dense_faces(self, faces):
         """Rebuild dense face label planes from the sparse export (host
         side; merge_component_fragments consumes dense planes)."""
@@ -310,12 +378,19 @@ class _StreamPlan:
         if self.want_cc:
             lo_j = jnp.asarray(vlo, jnp.int32)
             hi_j = jnp.asarray(vhi, jnp.int32)
-            cc = self._cc_fn(self.K, self.F)(
-                out, lo_j, hi_j, jnp.float32(self.threshold)
-            )
+            if self.cc_impl == "sparse":
+                cc = self._cc_sparse_fn(self.C)(
+                    out, lo_j, hi_j, jnp.float32(self.threshold)
+                )
+                rec["cc_C"] = self.C
+            else:
+                cc = self._cc_fn(self.K, self.F)(
+                    out, lo_j, hi_j, jnp.float32(self.threshold)
+                )
+                rec["cc_KF"] = (self.K, self.F)
             for leaf in jax.tree.leaves(cc):
                 leaf.copy_to_host_async()
-            rec["cc"], rec["cc_KF"] = cc, (self.K, self.F)
+            rec["cc"] = cc
         return rec
 
     def _collect(self, rec, progress, redo):
@@ -352,7 +427,41 @@ class _StreamPlan:
             self._all_locs.append(glob[own])
             self._all_conf.append(nms_det.conf[own])
             n_own = int(own.sum())
-        if self.want_cc:
+        if self.want_cc and self.cc_impl == "sparse":
+            C, res = rec["cc_C"], rec["cc"]
+            while True:
+                idx, probs, over = jax.device_get(res)
+                if not bool(over):
+                    break
+                C *= 4
+                self.C = max(self.C, C)  # later ROIs reuse the size
+                if provider is None:
+                    raise RuntimeError(
+                        "CC candidates overflowed and the prob map is "
+                        "gone; pass redo= to enable grow-and-retry"
+                    )
+                res = self._cc_sparse_fn(C)(
+                    provider(), jnp.asarray(vlo, jnp.int32),
+                    jnp.asarray(vhi, jnp.int32),
+                    jnp.float32(self.threshold),
+                )
+            cz, cy, cx = self.core_dims
+            n = cz * cy * cx
+            idx = np.asarray(idx, np.int64)
+            v = idx < n
+            idx = idx[v]
+            probs = np.asarray(probs)[v]
+            # local core coords -> global flat indices (int64)
+            gz = idx // (cy * cx) + corner[0]
+            rem = idx % (cy * cx)
+            gy = rem // cx + corner[1]
+            gx = rem % cx + corner[2]
+            vz_g, vy_g, vx_g = self.shape
+            self._cc_rois[key] = {
+                "gflat": (gz * vy_g + gy) * vx_g + gx,
+                "prob": probs,
+            }
+        elif self.want_cc:
             (K, F), res = rec["cc_KF"], rec["cc"]
             while True:
                 # ONE bulk device->host transfer per ROI (each array
@@ -403,7 +512,27 @@ class _StreamPlan:
                 results.append(
                     Tbars(locs=np.zeros((0, 3)), conf=np.zeros((0,)))
                 )
-        if self.want_cc:
+        if self.want_cc and self.cc_impl == "sparse":
+            from flypylib_tpu.ops.components import (
+                components_from_candidates,
+            )
+
+            if self._cc_rois:
+                gflat = np.concatenate(
+                    [r["gflat"] for r in self._cc_rois.values()]
+                )
+                probs = np.concatenate(
+                    [r["prob"] for r in self._cc_rois.values()]
+                )
+                order = np.argsort(gflat)
+                results.append(components_from_candidates(
+                    gflat[order], probs[order], self.shape
+                ))
+            else:
+                results.append(
+                    Tbars(locs=np.zeros((0, 3)), conf=np.zeros((0,)))
+                )
+        elif self.want_cc:
             from flypylib_tpu.ops.components import (
                 merge_component_fragments,
             )
@@ -429,6 +558,7 @@ def make_stream_plan(
     max_detections_per_roi: int = 4096,
     max_components_per_roi: int = 4096,
     method: str = "nms",
+    cc_impl: str = "sparse",
 ):
     """Build the reusable streaming-detection engine (ROI grid + compiled
     pipelines) for :func:`detect_streaming` / :func:`detect_staged`.
@@ -436,15 +566,24 @@ def make_stream_plan(
     Reuse one plan across calls on same-shaped volumes: every fresh plan
     re-jits the tile forward and postprocess (minutes of XLA compile on a
     remote TPU).  ``threshold`` is traced and may differ per call; the
-    geometry arguments (shape/core/window/method) are baked in.
+    geometry arguments (shape/core/window/method/cc_impl) are baked in.
+
+    ``cc_impl`` selects the components backend: ``"sparse"`` (default)
+    ships each ROI's compacted candidate voxels and runs one exact host
+    csgraph CC over the global union — work scales with candidate count,
+    the right trade for ~0.01-1%-occupied synapse masks; ``"device"``
+    runs dense label-propagation CC per ROI on device with a union-find
+    seam merge — better for dense (e.g. membrane) masks.  Both are
+    detection-exact vs ``scipy.ndimage.label`` (tests/test_large.py).
     """
     return _StreamPlan(
         spec, variables, shape, core, tile_out, tile_batch, window,
         threshold, max_detections_per_roi, max_components_per_roi, method,
+        cc_impl,
     )
 
 
-def _check_plan(plan, shape, window, method, threshold):
+def _check_plan(plan, shape, window, method, threshold, cc_impl=None):
     """Geometry args are baked into a plan; catch silent mismatches and
     retarget the traced threshold."""
     if plan.shape != to3d(shape):
@@ -453,6 +592,10 @@ def _check_plan(plan, shape, window, method, threshold):
         raise ValueError(f"plan window {plan.window} != {to3d(window)}")
     if plan.method != method:
         raise ValueError(f"plan method {plan.method!r} != {method!r}")
+    if cc_impl is not None and plan.cc_impl != cc_impl:
+        raise ValueError(
+            f"plan cc_impl {plan.cc_impl!r} != {cc_impl!r}"
+        )
     plan.threshold = threshold  # traced everywhere: no recompile
     plan.pipe.threshold = float(threshold)
     return plan
@@ -471,6 +614,7 @@ def detect_streaming(
     max_detections_per_roi: int = 4096,
     max_components_per_roi: int = 4096,
     method: str = "nms",
+    cc_impl: str = "sparse",
     progress=None,
     plan: "_StreamPlan | None" = None,
 ):
@@ -497,9 +641,11 @@ def detect_streaming(
             tile_batch=tile_batch, window=window, threshold=threshold,
             max_detections_per_roi=max_detections_per_roi,
             max_components_per_roi=max_components_per_roi, method=method,
+            cc_impl=cc_impl,
         )
     else:
-        plan = _check_plan(plan, shape, window, method, threshold)
+        plan = _check_plan(plan, shape, window, method, threshold,
+                           cc_impl)
     shape = plan.shape
     pipe = plan.pipe
     fetch_halo = plan.fetch_halo
@@ -567,6 +713,7 @@ def detect_staged(
     max_detections_per_roi: int = 4096,
     max_components_per_roi: int = 4096,
     method: str = "nms",
+    cc_impl: str = "sparse",
     progress=None,
     staged=None,
     plan: "_StreamPlan | None" = None,
@@ -591,10 +738,11 @@ def detect_staged(
             threshold=threshold,
             max_detections_per_roi=max_detections_per_roi,
             max_components_per_roi=max_components_per_roi, method=method,
+            cc_impl=cc_impl,
         )
     else:
         plan = _check_plan(plan, np.shape(volume), window, method,
-                           threshold)
+                           threshold, cc_impl)
     if staged is None:
         staged = stage_volume(volume, plan=plan)
     big, fetch_halo = staged

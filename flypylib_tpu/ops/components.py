@@ -223,6 +223,65 @@ def components_device(
     return centroids, conf, valid, overflowed
 
 
+def components_from_candidates(
+    flat_idx: np.ndarray, prob: np.ndarray, shape
+) -> Tbars:
+    """Exact 6-connectivity CC from the sparse set of above-threshold
+    voxels (ascending unique flat indices into a ``shape`` volume).
+
+    Semantically identical to ``scipy.ndimage.label`` + centroid/max-conf
+    extraction on the dense mask (the host reference): connectivity is
+    evaluated on the candidate set itself, which IS the thresholded mask.
+    Built for the sparse masks synapse detection produces (~0.01-1%
+    occupancy): work scales with candidate count, not volume size —
+    neighbor lookups are searchsorted into the sorted index list and the
+    components come from one ``scipy.sparse.csgraph`` pass.  Used by the
+    streaming detection path (infer/large.py cc_impl="sparse"), where
+    each ROI ships only its compacted core candidates.
+    """
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components as _cc
+
+    a = np.asarray(flat_idx, np.int64)
+    p = np.asarray(prob, np.float64)
+    n = a.shape[0]
+    if n == 0:
+        return Tbars(locs=np.zeros((0, 3)), conf=np.zeros((0,)))
+    vz, vy, vx = shape
+    x = a % vx
+    y = (a // vx) % vy
+    z = a // (vy * vx)
+    ri, ci = [], []
+    for delta, guard in (
+        (1, x != vx - 1),
+        (vx, y != vy - 1),
+        (vy * vx, z != vz - 1),
+    ):
+        b = a + delta
+        pos = np.searchsorted(a, b)
+        ok = guard & (pos < n)
+        ok[ok] = a[pos[ok]] == b[ok]
+        ri.append(np.nonzero(ok)[0])
+        ci.append(pos[ok])
+    ri = np.concatenate(ri + [np.arange(n)])
+    ci = np.concatenate(ci + [np.arange(n)])
+    g = sp.coo_matrix(
+        (np.ones(ri.shape[0], np.int8), (ri, ci)), shape=(n, n)
+    )
+    ncomp, lab = _cc(g, directed=False)
+    count = np.bincount(lab, minlength=ncomp).astype(np.float64)
+    cents = np.stack(
+        [
+            np.bincount(lab, weights=c, minlength=ncomp) / count
+            for c in (z, y, x)
+        ],
+        axis=1,
+    )
+    conf = np.full(ncomp, -np.inf)
+    np.maximum.at(conf, lab, p)
+    return sort_detections(cents, conf)
+
+
 class SeamUnionFind:
     """Union-find over (block_key, slot) nodes for cross-block CC merging."""
 

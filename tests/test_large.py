@@ -61,9 +61,11 @@ def test_streaming_nondivisible_cores(model, rng):
     assert_same_detections(host, got)
 
 
-def test_streaming_components_seam_merge(model, rng):
-    """Chunked CC with cross-ROI union-find == monolithic scipy label,
-    on non-divisible cores (components span ROI seams)."""
+@pytest.mark.parametrize("cc_impl", ["sparse", "device"])
+def test_streaming_components_seam_merge(model, rng, cc_impl):
+    """Chunked CC == monolithic scipy label on non-divisible cores
+    (components span ROI seams), for BOTH backends: sparse host-csgraph
+    over shipped candidates and device label-sweeps + union-find."""
     spec, variables = model
     vol = rng.random((50, 41, 47)).astype(np.float32)
     prob = reference_prob(spec, variables, vol)
@@ -74,7 +76,7 @@ def test_streaming_components_seam_merge(model, rng):
     got = detect_streaming(
         spec, variables, shape, read, core=24, tile_out=24,
         threshold=thr, method="components",
-        max_components_per_roi=4096,
+        max_components_per_roi=4096, cc_impl=cc_impl,
     )
     assert_same_detections(host, got, loc_tol=1e-3)
 
@@ -90,12 +92,36 @@ def test_streaming_components_overflow_grows(model, rng):
     got = detect_streaming(
         spec, variables, shape, read, core=20, tile_out=20,
         threshold=thr, method="components",
-        max_components_per_roi=4,
+        max_components_per_roi=4, cc_impl="device",
     )
     assert_same_detections(host, got, loc_tol=1e-3)
 
 
-def test_streaming_both_methods(model, rng):
+def test_streaming_sparse_cc_candidate_overflow_grows(model, rng):
+    """The sparse backend's candidate budget also self-heals."""
+    from flypylib_tpu.infer.large import make_stream_plan
+
+    spec, variables = model
+    vol = rng.random((40, 33, 37)).astype(np.float32)
+    prob = reference_prob(spec, variables, vol)
+    thr = float(np.quantile(prob, 0.9))  # many candidates
+    host = components_host(prob, threshold=thr)
+    shape, read = array_reader(vol)
+    plan = make_stream_plan(
+        spec, variables, shape, core=20, tile_out=20,
+        threshold=thr, method="components", cc_impl="sparse",
+    )
+    plan.C = 16  # force per-ROI candidate overflow
+    got = detect_streaming(
+        spec, variables, shape, read, core=20, tile_out=20,
+        threshold=thr, method="components", plan=plan,
+    )
+    assert plan.C > 16  # grew
+    assert_same_detections(host, got, loc_tol=1e-3)
+
+
+@pytest.mark.parametrize("cc_impl", ["sparse", "device"])
+def test_streaming_both_methods(model, rng, cc_impl):
     spec, variables = model
     vol = rng.random((40, 40, 40)).astype(np.float32)
     prob = reference_prob(spec, variables, vol)
@@ -103,7 +129,7 @@ def test_streaming_both_methods(model, rng):
     shape, read = array_reader(vol)
     nms_det, cc_det = detect_streaming(
         spec, variables, shape, read, core=24, tile_out=24,
-        window=3, threshold=thr, method="both",
+        window=3, threshold=thr, method="both", cc_impl=cc_impl,
     )
     assert_same_detections(nms_host(prob, window=3, threshold=thr), nms_det)
     assert_same_detections(
