@@ -115,13 +115,14 @@ def bench_tpu(size: int = 256, tile_out: int = 64, tile_batch: int = 16):
         times.append(time.perf_counter() - t0)
     wire_dt = min(times)  # min over 5: the tunnel adds heavy-tailed jitter
 
-    # device-resident: volume staged in HBM once; forward + NMS + CC only
-    staged = pipe.stage(vol)
-    pipe.postprocess(pipe.forward_staged(staged))  # warm
+    # device-resident: volume staged in HBM once; fused single-dispatch
+    # forward + NMS + CC only
+    staged = pipe.stage_full(vol)
+    pipe.postprocess(pipe.forward_full(staged))  # warm
     dev_times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        pipe.postprocess(pipe.forward_staged(staged))
+        pipe.postprocess(pipe.forward_full(staged))
         dev_times.append(time.perf_counter() - t0)
     dev_dt = min(dev_times)
 

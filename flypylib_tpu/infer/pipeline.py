@@ -390,6 +390,18 @@ class DetectPipeline:
             )
         return out
 
+    def stage_full(self, volume: np.ndarray) -> jax.Array:
+        """Host-pad and upload the whole volume in one transfer — for the
+        device-resident operating mode, where repeated :meth:`forward_full`
+        calls run the fused single-dispatch forward (no per-slab
+        dispatches; use :meth:`stage`/:meth:`forward_staged` instead when
+        the upload itself should overlap compute)."""
+        return jax.device_put(self.prepare(volume))
+
+    def forward_full(self, big: jax.Array) -> jax.Array:
+        """Fused whole-volume forward over :meth:`stage_full`'s upload."""
+        return self.forward_from(big, (0, 0, 0))
+
     def forward(self, volume: np.ndarray) -> jax.Array:
         """volume -> device-resident prob map of shape ``_out_shape``
         (valid region is ``[:vz, :vy, :vx]``); uploads overlap compute."""

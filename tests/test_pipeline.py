@@ -109,3 +109,15 @@ def test_pipeline_threshold_mutation_takes_effect(model, rng):
     from flypylib_tpu.ops.host_reference import nms_host
     from tests.test_detect_ops import assert_same_detections
     assert_same_detections(nms_host(prob, window=3, threshold=t_hi), few)
+
+
+def test_forward_full_equals_forward_staged(model, rng):
+    """The fused single-dispatch device-resident path (stage_full +
+    forward_full) is bitwise the per-slab staged path."""
+    spec, variables = model
+    vol = rng.random((24, 20, 18)).astype(np.float32)
+    pipe = DetectPipeline(spec, variables, vol.shape, tile_out=12,
+                          tile_batch=2, window=3, threshold=0.5)
+    a = np.asarray(pipe.forward_staged(pipe.stage(vol)))
+    b = np.asarray(pipe.forward_full(pipe.stage_full(vol)))
+    np.testing.assert_array_equal(a, b)
