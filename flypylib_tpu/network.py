@@ -27,10 +27,11 @@ class FplNetwork:
     def __init__(self, model="baseline", train_config: TrainConfig | None = None,
                  seed: int = 0, packed: bool | str = "auto", **model_kwargs):
         """``packed`` selects the space-to-depth inference engine
-        (ops/packed_conv) for the infer/detect verbs: ``"auto"`` uses it
-        whenever the model supports it (ConvStack zoo entries), ``True``
-        requires it, ``False`` runs the plain Flax path.  Training always
-        uses the plain module; both share one params tree."""
+        (ops/packed_conv for ConvStack zoo entries, ops/packed_unet for
+        the valid-conv U-Net) for the infer/detect verbs: ``"auto"``
+        uses it whenever the model supports it, ``True`` requires it,
+        ``False`` runs the plain Flax path.  Training always uses the
+        plain module; both share one params tree."""
         if isinstance(model, ModelSpec):
             spec = model
         elif callable(model):
@@ -42,8 +43,9 @@ class FplNetwork:
         self.infer_spec = spec
         if packed:
             from flypylib_tpu.ops.packed_conv import packed_spec
+            from flypylib_tpu.ops.packed_unet import packed_unet_spec
 
-            pspec = packed_spec(spec)
+            pspec = packed_spec(spec) or packed_unet_spec(spec)
             if pspec is None and packed is True:
                 raise ValueError(
                     f"model {spec.name!r} does not support the packed "

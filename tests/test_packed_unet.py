@@ -1,0 +1,72 @@
+"""Packed U-Net engine == plain UNetValid (same params tree)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flypylib_tpu.models.zoo import unet
+from flypylib_tpu.ops.packed_unet import packed_unet_spec
+
+
+@pytest.fixture(scope="module")
+def small_unet():
+    spec = unet(base_features=4, levels=2, convs_per_stage=2,
+                dtype=jnp.float32)
+    pspec = packed_unet_spec(spec)
+    assert pspec is not None
+    variables = spec.init(jax.random.PRNGKey(0), pspec.min_size)
+    return spec, pspec, variables
+
+
+def test_packed_unet_matches_plain(small_unet, rng):
+    spec, pspec, variables = small_unet
+    s = pspec.min_size
+    x = jnp.asarray(rng.random((1, s, s, s, 1)), jnp.float32)
+    plain = np.asarray(spec.module.apply(variables, x, train=False))
+    packed = np.asarray(pspec.module.apply(variables, x, train=False))
+    assert plain.shape == packed.shape
+    np.testing.assert_allclose(packed, plain, rtol=1e-5, atol=1e-5)
+
+
+def test_packed_unet_matches_plain_bf16(rng):
+    """bf16 packed engine matches the f32 plain net to bf16 tolerance."""
+    spec32 = unet(base_features=4, levels=1, convs_per_stage=1,
+                  dtype=jnp.float32)
+    spec16 = unet(base_features=4, levels=1, convs_per_stage=1)
+    pspec = packed_unet_spec(spec16)
+    variables = spec32.init(jax.random.PRNGKey(1), pspec.min_size)
+    s = pspec.valid_size(pspec.min_size + pspec.size_multiple)
+    x = jnp.asarray(rng.random((1, s, s, s, 1)), jnp.float32)
+    plain = np.asarray(spec32.module.apply(variables, x, train=False))
+    packed = np.asarray(pspec.module.apply(variables, x, train=False))
+    np.testing.assert_allclose(packed, plain, rtol=5e-2, atol=5e-2)
+
+
+def test_packed_unet_geometry_exports(small_unet):
+    spec, pspec, variables = small_unet
+    # stricter-or-equal constraints than the plain net
+    assert pspec.size_multiple % spec.size_multiple == 0
+    assert pspec.context == spec.context
+    # a second probed-valid size also matches
+    s = pspec.valid_size(pspec.min_size + pspec.size_multiple)
+    assert pspec.is_valid_size(s)
+
+
+def test_packed_unet_tiled_equals_monolithic(small_unet, rng):
+    """The packed U-Net composes with the tile planner bitwise."""
+    from flypylib_tpu.infer.tiled import TiledInference
+
+    spec, pspec, variables = small_unet
+    vol = rng.random((40, 36, 34)).astype(np.float32)
+    ti_small = TiledInference(pspec, variables, tile_out=16)
+    ti_big = TiledInference(pspec, variables, tile_out=48)
+    a = ti_small.infer(vol)
+    b = ti_big.infer(vol)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_packed_unet_non_unet_returns_none():
+    from flypylib_tpu.models.zoo import baseline_model
+
+    assert packed_unet_spec(baseline_model()) is None
