@@ -189,6 +189,13 @@ class _StreamPlan:
         # sparse-CC candidate slots per ROI (grows on retry); sized so
         # the steady-state wire cost stays ~0.5 MB/ROI
         self.C = 65536
+        # depth of the dispatch-ahead pipeline: each in-flight ROI holds
+        # one prob-map buffer in HBM, so scale the window down for big
+        # ROIs (budget ~2.5 GB of held maps); overridable attribute
+        out_bytes = 4 * int(np.prod(self.pipe._out_shape))
+        self.pipeline_window = max(
+            1, min(4, (5 << 29) // max(out_bytes, 1))
+        )
 
     def region(self, corner):
         """(lo_want, vlo, vhi) for an ROI corner: the wanted fetch box and
@@ -220,27 +227,22 @@ class _StreamPlan:
 
         @jax.jit
         def f(out, vlo, vhi, thr):
+            from flypylib_tpu.ops.nms import mask_valid_region
+
             prob = out[:vz, :vy, :vx]
-            zz = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 0)
-            yy = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 1)
-            xx = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 2)
-            inb = (
-                (zz >= vlo[0]) & (zz < vhi[0])
-                & (yy >= vlo[1]) & (yy < vhi[1])
-                & (xx >= vlo[2]) & (xx < vhi[2])
-            )
-            prob = jnp.where(inb, prob, -jnp.inf)
+            prob, _ = mask_valid_region(prob, vlo, vhi)
             corep = jax.lax.slice(
                 prob, (h, h, h), (h + cz, h + cy, h + cx)
             )
-            uniq, sums, count, conf, valid, over, lab = (
+            uniq, sums, count, conf, valid, over_k, lab = (
                 cc_label_and_extract(corep, thr, K)
             )
             # sparse face export: a 512^2 label plane is megabytes on
             # the tunnel per ROI, but only labeled (above-threshold)
             # face voxels can seam-merge — ship (position, label) pairs
-            # compacted to F slots per face; overflow joins the
-            # grow-and-retry flag
+            # compacted to F slots per face; face overflow gets its OWN
+            # retry flag so a K-only overflow doesn't inflate F
+            over_f = jnp.bool_(False)
             faces = []
             for plane in (
                 lab[0], lab[cz - 1],
@@ -258,11 +260,11 @@ class _StreamPlan:
                     sentinel,
                 )
                 if fcap < flat.shape[0]:
-                    over = over | (
+                    over_f = over_f | (
                         jnp.sum(m, dtype=jnp.int32) > fcap
                     )
                 faces.append((idx, labs))
-            return uniq, sums, count, conf, valid, over, faces
+            return uniq, sums, count, conf, valid, over_k, over_f, faces
 
         cache = getattr(self, "_cc_cache", None)
         if cache is None:
@@ -291,16 +293,10 @@ class _StreamPlan:
 
         @jax.jit
         def f(out, vlo, vhi, thr):
+            from flypylib_tpu.ops.nms import mask_valid_region
+
             prob = out[:vz, :vy, :vx]
-            zz = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 0)
-            yy = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 1)
-            xx = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 2)
-            inb = (
-                (zz >= vlo[0]) & (zz < vhi[0])
-                & (yy >= vlo[1]) & (yy < vhi[1])
-                & (xx >= vlo[2]) & (xx < vhi[2])
-            )
-            prob = jnp.where(inb, prob, -jnp.inf)
+            prob, _ = mask_valid_region(prob, vlo, vhi)
             corep = jax.lax.slice(
                 prob, (h, h, h), (h + cz, h + cy, h + cx)
             ).reshape(-1)
@@ -337,35 +333,32 @@ class _StreamPlan:
             dense.append(d.reshape(shp))
         return dense
 
-    def consume(self, outs, progress=None, redo=None):
+    def consume(self, outs, progress=None):
         """Drain an iterator of ``(key, corner, out_device, lo_want, vlo,
         vhi)`` and merge per-ROI results.
 
         Deep-pipelined: each ROI's postprocess is DISPATCHED immediately
         (its result arrays start copying to the host asynchronously) and
-        COLLECTED ``window`` ROIs later, so the host never blocks a
-        device round-trip while the device still has queued forwards —
-        per-ROI wire latency rides entirely under compute.  The window
-        bounds in-flight prob-map buffers (one per uncollected ROI; the
-        map reference is kept until collection so a saturation
-        grow-and-retry reruns only the postprocess, never the forward).
-
-        ``redo(key, corner) -> device prob map`` is a fallback recompute
-        for retries (kept for API compatibility; the held reference makes
-        it unnecessary in practice).
+        COLLECTED ``pipeline_window`` ROIs later, so the host never
+        blocks a device round-trip while the device still has queued
+        forwards — per-ROI wire latency rides entirely under compute.
+        The window bounds in-flight prob-map buffers (one per
+        uncollected ROI; the map reference is kept until collection so a
+        saturation grow-and-retry reruns only the postprocess, never the
+        forward).
         """
         from collections import deque
 
         self._all_locs, self._all_conf = [], []
         self._cc_rois: dict[tuple, dict] = {}
-        window = 4
+        window = self.pipeline_window
         pend: deque = deque()
         for item in outs:
             pend.append(self._dispatch(*item))
             if len(pend) > window:
-                self._collect(pend.popleft(), progress, redo)
+                self._collect(pend.popleft(), progress)
         while pend:
-            self._collect(pend.popleft(), progress, redo)
+            self._collect(pend.popleft(), progress)
         return self._finalize()
 
     def _dispatch(self, key, corner, out, lo_want, vlo, vhi):
@@ -393,16 +386,11 @@ class _StreamPlan:
             rec["cc"] = cc
         return rec
 
-    def _collect(self, rec, progress, redo):
+    def _collect(self, rec, progress):
         key, corner = rec["key"], rec["corner"]
         lo_want, vlo, vhi = rec["lo_want"], rec["vlo"], rec["vhi"]
-        out = rec.pop("out", None)
-        if out is not None:
-            provider = lambda: out  # noqa: E731 — rerun post, not forward
-        elif redo is not None:
-            provider = lambda: redo(key, corner)  # noqa: E731
-        else:
-            provider = None
+        out = rec.pop("out")  # held so retries rerun post, not forward
+        provider = lambda: out  # noqa: E731
         core_dims, shape, ctx = self.core_dims, self.shape, self.ctx
         n_own = 0
         if self.want_nms:
@@ -435,11 +423,6 @@ class _StreamPlan:
                     break
                 C *= 4
                 self.C = max(self.C, C)  # later ROIs reuse the size
-                if provider is None:
-                    raise RuntimeError(
-                        "CC candidates overflowed and the prob map is "
-                        "gone; pass redo= to enable grow-and-retry"
-                    )
                 res = self._cc_sparse_fn(C)(
                     provider(), jnp.asarray(vlo, jnp.int32),
                     jnp.asarray(vhi, jnp.int32),
@@ -466,20 +449,19 @@ class _StreamPlan:
             while True:
                 # ONE bulk device->host transfer per ROI (each array
                 # would otherwise cost a tunnel roundtrip)
-                uniq, sums, count, conf, valid, over, faces = (
+                uniq, sums, count, conf, valid, over_k, over_f, faces = (
                     jax.device_get(res)
                 )
-                if not bool(over):
+                if not (bool(over_k) or bool(over_f)):
                     break
-                K *= 4
-                F *= 4
-                self.K = max(self.K, K)  # later ROIs reuse the sizes
-                self.F = max(self.F, F)
-                if provider is None:
-                    raise RuntimeError(
-                        "CC overflowed and the prob map is gone; pass "
-                        "redo= to enable grow-and-retry"
-                    )
+                # grow only the saturated capacity: each distinct (K, F)
+                # is a fresh XLA compile (minutes through the tunnel)
+                if bool(over_k):
+                    K *= 4
+                    self.K = max(self.K, K)  # later ROIs reuse the sizes
+                if bool(over_f):
+                    F *= 4
+                    self.F = max(self.F, F)
                 res = self._cc_fn(K, F)(
                     provider(), jnp.asarray(vlo, jnp.int32),
                     jnp.asarray(vhi, jnp.int32),
@@ -694,11 +676,7 @@ def detect_streaming(
             block, lo_want, vlo, vhi = prepped
             yield key, corner, pipe.forward(block), lo_want, vlo, vhi
 
-    def redo(key, corner):
-        # saturation retry: re-read + re-run the one affected ROI
-        return pipe.forward(prep(corner)[0])
-
-    return plan.consume(outs(), progress, redo=redo)
+    return plan.consume(outs(), progress)
 
 
 def detect_staged(
@@ -776,13 +754,7 @@ def detect_staged(
                 lo_want, vlo, vhi,
             )
 
-    def redo(key, corner):
-        # saturation retry: re-slice + re-run the one affected ROI
-        return plan.pipe.forward_from(
-            big, tuple(c + off for c in corner)
-        )
-
-    return plan.consume(outs(), progress, redo=redo)
+    return plan.consume(outs(), progress)
 
 
 def stage_volume(volume: np.ndarray, plan=None, halo: int | None = None):

@@ -194,22 +194,13 @@ class DetectPipeline:
         def make_post(k_det: int, k_comp: int):
             @jax.jit
             def post(out, valid_lo, valid_hi, threshold):
+                from flypylib_tpu.ops.nms import mask_valid_region
+
                 prob = out[:vz, :vy, :vx]
-                # out-of-bounds masking (traced): voxels outside
-                # [valid_lo, valid_hi) become -inf so they can neither be
-                # candidates nor suppress in-bounds candidates — exactly the
-                # monolithic -inf boundary semantics for ROI runs whose prob
-                # region extends past the true volume
-                zz = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 0)
-                yy = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 1)
-                xx = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 2)
-                inb = (
-                    (zz >= valid_lo[0]) & (zz < valid_hi[0])
-                    & (yy >= valid_lo[1]) & (yy < valid_hi[1])
-                    & (xx >= valid_lo[2]) & (xx < valid_hi[2])
-                )
+                # monolithic -inf boundary semantics for ROI runs whose
+                # prob region extends past the true volume
+                prob, inb = mask_valid_region(prob, valid_lo, valid_hi)
                 n_inb = jnp.sum(inb, dtype=jnp.int32)
-                prob = jnp.where(inb, prob, -jnp.inf)
                 if threshold_quantile is not None:
                     # plane-subsampled quantile (~1M elements): a
                     # full-volume sort costs more than the rest of the

@@ -25,6 +25,25 @@ from flypylib_tpu.io.synapses import Tbars
 from flypylib_tpu.utils import to3d
 
 
+def mask_valid_region(prob: jax.Array, valid_lo, valid_hi):
+    """(masked prob, in-bounds mask): voxels outside ``[valid_lo,
+    valid_hi)`` become -inf so they can neither be candidates nor
+    suppress/join in-bounds ones — the monolithic boundary rule for ROI
+    prob regions that extend past the true volume.  ``valid_lo``/
+    ``valid_hi`` are traced (3,) int32 arrays.  Shared by the fused
+    pipeline postprocess and both streaming CC extractors, so the
+    exactness semantics live in exactly one place."""
+    zz = lax.broadcasted_iota(jnp.int32, prob.shape, 0)
+    yy = lax.broadcasted_iota(jnp.int32, prob.shape, 1)
+    xx = lax.broadcasted_iota(jnp.int32, prob.shape, 2)
+    inb = (
+        (zz >= valid_lo[0]) & (zz < valid_hi[0])
+        & (yy >= valid_lo[1]) & (yy < valid_hi[1])
+        & (xx >= valid_lo[2]) & (xx < valid_hi[2])
+    )
+    return jnp.where(inb, prob, -jnp.inf), inb
+
+
 def max_filter(prob: jax.Array, window=3) -> jax.Array:
     """Separable 3D max filter with -inf (out-of-bounds) padding.
 

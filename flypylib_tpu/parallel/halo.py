@@ -418,7 +418,11 @@ def sharded_components(
     in_specs = (P(az, ay, xspec),)
     ax0 = tuple(axes) if len(axes) > 1 else az
     g1, g2 = P(ax0), P(ax0, None)
-    out_specs = (g1, g2, g1, g1, g1, g1, g2, g2, g2, g2, g2, g2)
+    # x faces are only exported when x is sharded: with nx == 1 the
+    # merge can never use them and they'd just ride the wire
+    out_specs = (g1, g2, g1, g1, g1, g1, g2, g2, g2, g2) + (
+        (g2, g2) if ax_ else ()
+    )
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
@@ -428,16 +432,18 @@ def sharded_components(
         uniq, sums, count, conf, valid, over, lab = cc_label_and_extract(
             slab, threshold, K
         )
-        return (
-            uniq, sums, count, conf, valid, over[None],
-            lab[0], lab[sz - 1], lab[:, 0], lab[:, sy - 1],
-            lab[:, :, 0], lab[:, :, sx - 1],
-        )
+        faces = (lab[0], lab[sz - 1], lab[:, 0], lab[:, sy - 1])
+        if ax_:
+            faces = faces + (lab[:, :, 0], lab[:, :, sx - 1])
+        return (uniq, sums, count, conf, valid, over[None]) + faces
 
     res = jax.device_get(jax.jit(fn)(prob))  # one transfer
-    uniq, sums, count, conf, valid, over, zlo, zhi, ylo, yhi, xlo, xhi = (
-        res
-    )
+    if ax_:
+        (uniq, sums, count, conf, valid, over,
+         zlo, zhi, ylo, yhi, xlo, xhi) = res
+    else:
+        uniq, sums, count, conf, valid, over, zlo, zhi, ylo, yhi = res
+        xlo = xhi = None
     if bool(np.asarray(over).any()):
         return sharded_components(
             prob[:vz, :vy, :vx], mesh, axis, threshold, max_components * 4
@@ -453,8 +459,9 @@ def sharded_components(
     zhi = np.asarray(zhi).reshape(*grid, sy, sx)
     ylo = np.asarray(ylo).reshape(*grid, sz, sx)
     yhi = np.asarray(yhi).reshape(*grid, sz, sx)
-    xlo = np.asarray(xlo).reshape(*grid, sz, sy)
-    xhi = np.asarray(xhi).reshape(*grid, sz, sy)
+    if ax_:
+        xlo = np.asarray(xlo).reshape(*grid, sz, sy)
+        xhi = np.asarray(xhi).reshape(*grid, sz, sy)
 
     # globalize coordinate sums by each shard's corner
     blocks = {}
@@ -475,7 +482,8 @@ def sharded_components(
                     "faces": [
                         zlo[i], zhi[i],
                         ylo[i], yhi[i],
-                        xlo[i], xhi[i],
+                        xlo[i] if ax_ else None,
+                        xhi[i] if ax_ else None,
                     ],
                 }
 

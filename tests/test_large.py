@@ -214,3 +214,29 @@ def test_staged_uint8_and_reuse(model, rng):
     assert len(host) > 0
     assert_same_detections(host, got1)
     assert 0 < len(got2) < len(got1)
+
+
+def test_streaming_device_cc_face_overflow_grows(model, rng):
+    """The device backend's sparse-face slot budget (F) self-heals via
+    its own grow-and-retry flag, independent of K."""
+    from flypylib_tpu.infer.large import make_stream_plan
+
+    spec, variables = model
+    vol = rng.random((40, 33, 37)).astype(np.float32)
+    prob = reference_prob(spec, variables, vol)
+    thr = float(np.quantile(prob, 0.9))  # dense faces
+    host = components_host(prob, threshold=thr)
+    shape, read = array_reader(vol)
+    plan = make_stream_plan(
+        spec, variables, shape, core=20, tile_out=20,
+        threshold=thr, method="components", cc_impl="device",
+        max_components_per_roi=4096,
+    )
+    plan.F = 2  # force per-face overflow without K overflow
+    got = detect_streaming(
+        spec, variables, shape, read, core=20, tile_out=20,
+        threshold=thr, method="components", cc_impl="device", plan=plan,
+    )
+    assert plan.F > 2  # grew
+    assert plan.K == 4096  # K untouched by a face-only overflow
+    assert_same_detections(host, got, loc_tol=1e-3)
