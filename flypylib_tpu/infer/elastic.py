@@ -194,10 +194,34 @@ def stream_rois_elastic(
     order = rois[offset:] + rois[:offset]
 
     def process(roi: ROI):
-        vol = source(roi)
-        t0 = time.perf_counter()
-        nms_det, cc_det = pipeline(vol)
-        dt = time.perf_counter() - t0
+        # heartbeat while processing: a single ROI can legitimately take
+        # minutes (fresh-plan remote compiles) against the lease — without
+        # refreshes a live worker's ROI would be stolen and re-run
+        # (at-least-once keeps results exact, but the device work and any
+        # ``sink`` POST would duplicate)
+        import threading
+
+        stop = threading.Event()
+
+        def beat():
+            while not stop.wait(q.lease_s / 3.0):
+                try:
+                    q.heartbeat(roi)
+                except OSError:
+                    pass  # shared FS hiccup: next beat retries
+
+        beater = threading.Thread(target=beat, daemon=True)
+        beater.start()
+        try:
+            vol = source(roi)
+            t0 = time.perf_counter()
+            nms_det, cc_det = pipeline(vol)
+            dt = time.perf_counter() - t0
+        finally:
+            # stop BEFORE mark_done unlinks the claim, so a late beat
+            # can't resurrect a claim file for a finished ROI
+            stop.set()
+            beater.join()
 
         def filter_owned(det):
             if det is None or len(det) == 0:

@@ -100,7 +100,13 @@ def _default_tile(
     ~8 GB and OOMs a 16 GB chip), and batched small-spatial convs run
     FASTER on the MXU than big tiles despite the halo redundancy
     (measured sweep in BENCH_NOTES.md round 2: 64-tiles at batch 16 beat
-    256-tiles by 1.5x at 256^3)."""
+    256-tiles by 1.5x at 256^3).
+
+    Total under the memory cap: when no divisor exists (prime-ish
+    extents), fall back to the largest valid tile <= cap and accept an
+    overshooting tile grid (the tile planner pads and crops overshoot;
+    detections are unaffected) — never the monolithic ``extent``, which
+    OOMs past ~200^3."""
     if extent <= cap:
         if extent <= 2 * target:
             return extent
@@ -112,7 +118,14 @@ def _default_tile(
         ):
             if best is None or abs(d - target) < abs(best - target):
                 best = d
-    return best if best is not None else extent
+    if best is not None:
+        return best
+    # no exact divisor: overshooting grid with the largest valid tile
+    # under the cap (fewest tiles -> least halo redundancy)
+    for d in range(min(cap, extent), mult - 1, -1):
+        if d % mult == 0 and spec.is_valid_size(d + 2 * spec.context):
+            return d
+    return extent  # degenerate (extent < size_multiple): nothing to split
 
 
 class _StreamPlan:
@@ -155,6 +168,7 @@ class _StreamPlan:
         # plus the conv context for the halo's own probs
         self.fetch_halo = h + ctx
 
+        self.core = int(core)
         self.core_dims = [min(core, s) for s in shape]
         # ownership partition: non-overlapping cores covering the volume
         starts = [
@@ -167,6 +181,7 @@ class _StreamPlan:
             for ix, x0 in enumerate(starts[2])
         ]
 
+        self.req_tile = (tile_out, tile_batch)  # as passed (for _check_plan)
         roi_extent = max(self.core_dims) + 2 * h
         if tile_out is None:
             tile_out = _default_tile(roi_extent, spec)
@@ -355,7 +370,10 @@ class _StreamPlan:
         pend: deque = deque()
         for item in outs:
             pend.append(self._dispatch(*item))
-            if len(pend) > window:
+            # >=: at most ``window`` ROIs (each holding a prob-map
+            # buffer) are ever in flight — matching the HBM budget
+            # ``pipeline_window`` was sized for
+            if len(pend) >= window:
                 self._collect(pend.popleft(), progress)
         while pend:
             self._collect(pend.popleft(), progress)
@@ -565,9 +583,13 @@ def make_stream_plan(
     )
 
 
-def _check_plan(plan, shape, window, method, threshold, cc_impl=None):
+def _check_plan(plan, shape, window, method, threshold, cc_impl=None,
+                core=None, tile_out=None, tile_batch=None):
     """Geometry args are baked into a plan; catch silent mismatches and
-    retarget the traced threshold."""
+    retarget the traced threshold.  ``core``/``tile_out``/``tile_batch``
+    are checked only when the caller passed them explicitly (non-None) —
+    a plan silently overriding the caller's perf-relevant arguments would
+    otherwise go unnoticed (results stay exact either way)."""
     if plan.shape != to3d(shape):
         raise ValueError(f"plan shape {plan.shape} != volume {to3d(shape)}")
     if plan.window != to3d(window):
@@ -578,6 +600,17 @@ def _check_plan(plan, shape, window, method, threshold, cc_impl=None):
         raise ValueError(
             f"plan cc_impl {plan.cc_impl!r} != {cc_impl!r}"
         )
+    if core is not None and core != plan.core:
+        raise ValueError(f"plan core {plan.core} != caller core {core}")
+    for name, want, have in (
+        ("tile_out", tile_out, plan.req_tile[0]),
+        ("tile_batch", tile_batch, plan.req_tile[1]),
+    ):
+        if want is not None and want != have:
+            raise ValueError(
+                f"plan {name} {have} != caller {name} {want} "
+                "(rebuild the plan with the desired tiling)"
+            )
     plan.threshold = threshold  # traced everywhere: no recompile
     plan.pipe.threshold = float(threshold)
     return plan
@@ -588,7 +621,7 @@ def detect_streaming(
     variables,
     shape,
     read_fn,
-    core: int = 128,
+    core: int | None = None,
     tile_out: int | None = None,
     tile_batch: int | None = None,
     window=5,
@@ -619,7 +652,8 @@ def detect_streaming(
     """
     if plan is None:
         plan = make_stream_plan(
-            spec, variables, shape, core=core, tile_out=tile_out,
+            spec, variables, shape, core=128 if core is None else core,
+            tile_out=tile_out,
             tile_batch=tile_batch, window=window, threshold=threshold,
             max_detections_per_roi=max_detections_per_roi,
             max_components_per_roi=max_components_per_roi, method=method,
@@ -627,7 +661,7 @@ def detect_streaming(
         )
     else:
         plan = _check_plan(plan, shape, window, method, threshold,
-                           cc_impl)
+                           cc_impl, core, tile_out, tile_batch)
     shape = plan.shape
     pipe = plan.pipe
     fetch_halo = plan.fetch_halo
@@ -683,7 +717,7 @@ def detect_staged(
     spec: ModelSpec,
     variables,
     volume: np.ndarray,
-    core: int = 256,
+    core: int | None = None,
     tile_out: int | None = None,
     tile_batch: int | None = None,
     window=5,
@@ -695,6 +729,7 @@ def detect_staged(
     progress=None,
     staged=None,
     plan: "_StreamPlan | None" = None,
+    devices=None,
 ):
     """HBM-resident streaming detection: the whole volume is staged on
     device ONCE (uint8 stays uint8 — 4x cheaper on the wire), then every
@@ -708,10 +743,19 @@ def detect_staged(
     across calls and ``plan`` (from :func:`make_stream_plan`) reuses the
     compiled engine — e.g. threshold sweeps on the same volume recompile
     and re-upload nothing.
+
+    ``devices`` (e.g. ``jax.local_devices()``) fans the ROI sweep over
+    several local chips: the staged volume and params are replicated per
+    device and ROIs round-robin across them (eval config 5's
+    per-host scale-up, [B:11]; SURVEY.md section 2.3 SP row).  ROI cores
+    are disjoint and the host-side merge is order-exact, so detections
+    are bit-identical to the single-device sweep
+    (tests/test_large.py::test_staged_multi_device_bit_identical).
     """
     if plan is None:
         plan = make_stream_plan(
-            spec, variables, np.shape(volume), core=core,
+            spec, variables, np.shape(volume),
+            core=256 if core is None else core,
             tile_out=tile_out, tile_batch=tile_batch, window=window,
             threshold=threshold,
             max_detections_per_roi=max_detections_per_roi,
@@ -720,7 +764,7 @@ def detect_staged(
         )
     else:
         plan = _check_plan(plan, np.shape(volume), window, method,
-                           threshold, cc_impl)
+                           threshold, cc_impl, core, tile_out, tile_batch)
     if staged is None:
         staged = stage_volume(volume, plan=plan)
     big, fetch_halo = staged
@@ -745,6 +789,9 @@ def detect_staged(
     if any(pad_hi):
         big = jnp.pad(big, [(0, p) for p in pad_hi])
 
+    if devices is not None and len(devices) > 1:
+        return _detect_staged_multi(plan, big, off, devices, progress)
+
     def outs():
         for key, corner in plan.grid:
             lo_want, vlo, vhi = plan.region(corner)
@@ -757,12 +804,56 @@ def detect_staged(
     return plan.consume(outs(), progress)
 
 
+def _detect_staged_multi(plan, big, off, devices, progress):
+    """Fan :func:`detect_staged`'s ROI sweep over local devices.
+
+    The staged volume and the params are replicated once per device
+    (device-to-device copies on a real multi-chip host) and the disjoint
+    ROI cores round-robin across them; each device runs the SAME
+    compiled plan (jit caches one executable per device), and the
+    host-side merge is identical to the single-device sweep — so
+    detections are bit-identical, just produced ~len(devices) times
+    faster.  The dispatch-ahead window scales by the device count so
+    every chip keeps its own pipeline full (per-device in-flight buffer
+    count — the HBM budget — is unchanged)."""
+    import jax
+
+    bigs = [jax.device_put(big, d) for d in devices]
+    varss = [jax.device_put(plan.pipe.variables, d) for d in devices]
+    n = len(devices)
+    window_save = plan.pipeline_window
+    plan.pipeline_window = max(window_save * n, n + 1)
+    try:
+
+        def outs():
+            for i, (key, corner) in enumerate(plan.grid):
+                lo_want, vlo, vhi = plan.region(corner)
+                origin = tuple(c + off for c in corner)
+                j = i % n
+                yield (
+                    key, corner,
+                    plan.pipe.forward_from(
+                        bigs[j], origin, variables=varss[j]
+                    ),
+                    lo_want, vlo, vhi,
+                )
+
+        return plan.consume(outs(), progress)
+    finally:
+        plan.pipeline_window = window_save
+
+
 def stage_volume(volume: np.ndarray, plan=None, halo: int | None = None):
     """Upload a whole volume to HBM with its streaming reflect halo.
 
     Returns ``(big, halo)`` for :func:`detect_staged`'s ``staged=`` — the
     one wire transfer, reusable across detection calls.  ``halo`` must be
     >= the plan's ``fetch_halo`` (``context + window//2 + context``)."""
+    if plan is None and halo is None:
+        raise ValueError(
+            "stage_volume needs a plan (from make_stream_plan) or an "
+            "explicit halo to size the staged reflect border"
+        )
     h = plan.fetch_halo if halo is None else halo
     vol = np.asarray(volume)
     if vol.dtype not in (np.uint8, np.float32):

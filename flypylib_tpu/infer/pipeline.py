@@ -347,7 +347,8 @@ class DetectPipeline:
         c = self._tiled.ctx
         return tuple(os + 2 * c for os in self._out_shape)
 
-    def forward_from(self, big: jax.Array, origin) -> jax.Array:
+    def forward_from(self, big: jax.Array, origin,
+                     variables=None) -> jax.Array:
         """Forward over a window of a device-resident global volume.
 
         ``big`` is the whole (halo-padded, grid-extended) volume already
@@ -356,19 +357,25 @@ class DetectPipeline:
         :meth:`prepare` would have produced for this ROI.  Slab slices are
         device-to-device (HBM bandwidth) — no host wire in the loop; the
         whole ROI forward is ONE dispatch (origin is traced, so one
-        compile serves every ROI of a streaming sweep)."""
+        compile serves every ROI of a streaming sweep).
+
+        ``variables`` overrides ``self.variables`` — pass a copy
+        committed to ``big``'s device when fanning one plan's ROI sweep
+        over several local chips (jit then compiles/executes on that
+        device with no cross-device transfers in the steady state)."""
+        v = self.variables if variables is None else variables
         if self._fwd_from_fused is not None:
             return self._fwd_from_fused(
-                self.variables, big, jnp.asarray(origin, jnp.int32)
+                v, big, jnp.asarray(origin, jnp.int32)
             )
-        oz, oy, ox = (int(v) for v in origin)
+        oz, oy, ox = (int(v_) for v_ in origin)
         tin = self._tin
         _, py, px = self.padded_shape
         out = jnp.zeros(self._out_shape, dtype=jnp.float32)
         for zs, local in self._slabs:
             slab = lax.dynamic_slice(big, (oz + zs, oy, ox), (tin, py, px))
             out = self._fwd_slab(
-                self.variables, slab, local, out, jnp.int32(zs)
+                v, slab, local, out, jnp.int32(zs)
             )
         return out
 

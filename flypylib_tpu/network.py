@@ -74,6 +74,11 @@ class FplNetwork:
         Either pass rasterized ``labels``+``mask`` volumes, or raw ``tbars``
         annotations (rasterized here with the standard radius/ignore-annulus
         rules; border masking uses the model context).
+
+        Pass ``mesh=jax.sharding.Mesh(..., ("data",))`` (forwarded to
+        :meth:`Trainer.fit`) for mesh-data-parallel training — the
+        TPU-native equivalent of flypylib's ``make_parallel`` multi-GPU
+        path, wired into the same public verb.
         """
         is_multi = isinstance(image, (list, tuple))
         images = list(image) if is_multi else [image]

@@ -9,12 +9,16 @@ TFLOP/s — BENCH_NOTES.md), extended to the pooling topology:
 - **max-pool 2^3 stride 2 is an elementwise max over the 8 parity
   channel groups** of the packed tensor (the pooling window IS one
   packed cell) — no spatial op at all;
-- **ConvTranspose kernel-2 stride-2 is a 1x1 conv producing the 8
-  parity groups**: output voxel ``2r+p`` receives exactly one tap,
-  ``x[r] @ K[1-p]`` (flax flips the kernel; probed numerically);
-- crop-and-concat skips are handled in full-resolution semantics
-  (unpack -> center-crop -> repack, pure relayout) and concatenated per
-  parity group, matching the plain network's per-voxel channel order.
+- **ConvTranspose kernel-2 stride-2 is FOLDED into the next conv's
+  weights**: output voxel ``2r+p`` receives exactly one tap,
+  ``x[r] @ K[1-p]`` (flax flips the kernel; probed numerically), and no
+  activation sits between the upsample and the decoder block's first
+  conv — so the conv's up-channel taps contract with ``K`` once, in the
+  weights, shrinking the conv input from ``8(Cs+Cu)`` to ``8Cs + Cc``
+  channels and removing the upsample op entirely;
+- crop-and-concat skips are cropped IN the packed domain
+  (:func:`crop_packed`: per-axis cell slices, parity swap on odd
+  offsets) — full-resolution semantics with zero relayout transposes.
 
 All rewrites re-associate the same multiply-adds, so outputs match
 ``UNetValid.apply`` to bf16 tolerance (tests/test_packed_unet.py).  The
@@ -77,6 +81,44 @@ def _conv2(x, w):
     )
 
 
+def crop_packed(x: jax.Array, starts, sizes) -> jax.Array:
+    """Crop a packed tensor in FULL-RESOLUTION coordinates without
+    leaving the packed domain: equivalent to
+    ``pack_volume(unpack_volume(x)[starts : starts + sizes])`` but free
+    of the two O(N) relayout transposes — per-axis cell *slices*, plus a
+    parity-group swap when a start is odd.
+
+    ``sizes`` must be even (packed lattices hold 2x2x2 cells).  Derivation
+    per axis: output full-res index ``2r + p`` reads input ``2r + p + s``;
+    for even ``s = 2k`` that is cell ``r + k`` parity ``p``; for odd
+    ``s = 2k + 1`` parity 0 reads old parity 1 at cell ``r + k`` and
+    parity 1 reads old parity 0 at cell ``r + k + 1``.
+    """
+    b, d, h, w, c8 = x.shape
+    c = c8 // 8
+    x = x.reshape(b, d, h, w, 2, 2, 2, c)
+    for ax, (s, out_full) in enumerate(zip(starts, sizes)):
+        if out_full % 2:
+            raise ValueError(f"crop_packed sizes must be even, got {sizes}")
+        n = out_full // 2
+        sp_ax, p_ax = 1 + ax, 4 + ax
+        k, r = divmod(int(s), 2)
+        if r == 0:
+            x = lax.slice_in_dim(x, k, k + n, axis=sp_ax)
+        else:
+            even = lax.slice_in_dim(
+                lax.index_in_dim(x, 1, axis=p_ax, keepdims=False),
+                k, k + n, axis=sp_ax,
+            )
+            odd = lax.slice_in_dim(
+                lax.index_in_dim(x, 0, axis=p_ax, keepdims=False),
+                k + 1, k + 1 + n, axis=sp_ax,
+            )
+            x = jnp.stack([even, odd], axis=p_ax)
+    out_cells = tuple(sz // 2 for sz in sizes)
+    return x.reshape(b, *out_cells, 8 * c)
+
+
 class PackedUNet:
     """Duck-typed inference module running a UNetValid in packed layout.
 
@@ -130,30 +172,58 @@ class PackedUNet:
         x = unpack_volume(x)  # dense at the deepest pooled resolution
 
         for lev in reversed(range(levels)):
+            # x: DENSE tensor at this level's coarse resolution — which is
+            # exactly the packed-fine lattice, so the ConvTranspose (a
+            # linear per-parity 1x1 map, no activation before the next
+            # conv) FOLDS into the level's first packed conv:
+            #   up_group[p] = x @ K[1-p]  =>  the conv's up-channel taps
+            #   contract with K once, in the weights.  This removes the
+            #   upsample op AND shrinks the conv input from 8*(Cs+Cu)
+            #   channels to 8*Cs + Cc — and the skip is cropped by pure
+            #   packed-domain slices (crop_packed), so the decoder's
+            #   unpack->crop->repack relayouts (the round-2 U-Net perf
+            #   sink, VERDICT round 2) are gone entirely.
             kT = params[f"ConvTranspose_{levels - 1 - lev}"]
-            w = convT_packed_weight(kT["kernel"].astype(dt))
-            b = kT["bias"].astype(dt)
-            # x: dense coarse -> packed fine (x2 upsample as a 1x1 conv)
-            x = jnp.einsum("bdhwi,io->bdhwo", x, w) + jnp.tile(b, 8)
+            Kt = kT["kernel"].astype(jnp.float32)  # (2,2,2, Cc, Cu)
+            bT = kT["bias"].astype(jnp.float32)  # (Cu,)
+            cu = Kt.shape[-1]
+            cc = Kt.shape[-2]
             skip = skips[lev]
-            # center-crop the skip (full-resolution semantics) + repack
-            sd = unpack_volume(skip)
-            crops = [
-                (sd.shape[i] - 2 * x.shape[i]) // 2 for i in (1, 2, 3)
-            ]
-            sc = sd[
-                :,
-                crops[0] : crops[0] + 2 * x.shape[1],
-                crops[1] : crops[1] + 2 * x.shape[2],
-                crops[2] : crops[2] + 2 * x.shape[3],
-                :,
-            ]
-            x = _concat_parity(pack_volume(sc), x)
-            for _ in range(cps):
+            cs = skip.shape[-1] // 8
+
+            w_conv = params[f"Conv_{conv_i}"]["kernel"].astype(jnp.float32)
+            b_conv = params[f"Conv_{conv_i}"]["bias"].astype(jnp.float32)
+            wp = pack_weight_d1(w_conv)  # (2,2,2, 8(Cs+Cu), 8Co)
+            co8 = wp.shape[-1]
+            wp = wp.reshape(2, 2, 2, 8, cs + cu, co8)
+            w_skip = wp[..., :cs, :].reshape(2, 2, 2, 8 * cs, co8)
+            w_up = wp[..., cs:, :]  # (2,2,2, parity a, Cu, 8Co)
+            # K laid out parity-major (Cc, 8, Cu): group a holds K[1-a]
+            k_par = convT_packed_weight(Kt).reshape(cc, 8, cu)
+            w_up_eff = jnp.einsum("cau,zyxauo->zyxco", k_par, w_up)
+            w_fold = jnp.concatenate([w_skip, w_up_eff], axis=3)
+            # the convT bias reaches every up channel pre-conv: it sums
+            # through all taps/parities into a per-output constant
+            b_fold = jnp.tile(b_conv, 8) + jnp.einsum(
+                "u,zyxauo->o", bT, w_up
+            )
+
+            # crop the skip to full-res extent 2*x.shape (pure slices)
+            sizes = [2 * x.shape[i] for i in (1, 2, 3)]
+            starts = [
+                skip.shape[i] - x.shape[i] for i in (1, 2, 3)
+            ]  # (2*cells - size)//2 per side
+            sc = crop_packed(skip, starts, sizes)
+
+            xin = jnp.concatenate([sc, x.astype(dt)], axis=-1)
+            y = _conv2(xin, w_fold.astype(dt)) + b_fold.astype(dt)
+            x = jax.nn.relu(y)
+            conv_i += 1
+            for _ in range(cps - 1):
                 x = packed_conv_relu(x, conv_i)
                 conv_i += 1
             if lev > 0:
-                x = unpack_volume(x)  # dense input for the next convT
+                x = unpack_volume(x)  # dense input for the next fold
 
         # logits 1x1 conv (parity-independent): split-weight bf16 with
         # f32 accumulation (same trick as PackedConvStack — bf16->f32 is

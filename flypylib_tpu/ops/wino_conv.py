@@ -33,9 +33,14 @@ Weights are pre-transformed once per model: U = (G (x) G (x) G) w with
 G the 4x3 Winograd filter transform — exact in binary f.p. (0, 1, 1/2).
 
 Correctness is pinned against ``lax.conv_general_dilated`` in
-tests/test_wino_conv.py (interpret mode on CPU, compiled on TPU);
-integration parity with the plain Flax stack is pinned by
-tests/test_packed_conv.py when the packed engine routes stage B here.
+tests/test_wino_conv.py (interpret mode on CPU, compiled on TPU).
+
+This kernel is a STANDALONE experimental study: nothing on the
+production path routes to it.  It was measured against the packed-conv
+engine's XLA stage-B convs and REJECTED for the production path
+(slower at the operating tile shapes — BENCH_NOTES.md round 2); it is
+kept, with its tests, as a documented negative result and a starting
+point if future Mosaic versions change the trade-off.
 """
 
 from __future__ import annotations

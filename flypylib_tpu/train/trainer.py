@@ -306,6 +306,7 @@ class Trainer:
         self.tx = optax.adam(self.cfg.learning_rate)
         self.state = None
         self._train_step = None
+        self._val_engine = None  # cached TiledInference (re-jit is minutes)
         self.history: list[dict] = []
 
     def init_state(self, patch_size: int | None = None):
@@ -328,6 +329,7 @@ class Trainer:
         val_window=3,
         val_dist_thresh: float = 10.0,
         metrics_log=None,
+        mesh=None,
     ):
         """Train on one labeled volume or lists of them (parity:
         FplNetwork.train over labeled cube lists, incl. the validation
@@ -343,14 +345,32 @@ class Trainer:
         ``val_dist_thresh``).  ``metrics_log``: optional
         :class:`flypylib_tpu.utils.metrics.MetricsLog` receiving every
         epoch record.
+
+        ``mesh``: optional ``jax.sharding.Mesh`` with a ``"data"`` axis —
+        the epoch step is then mesh-data-parallel (the global
+        ``cfg.batch_size`` sharded over the axis, gradients all-reduced
+        over ICI by XLA; flypylib ``multi_gpu.make_parallel`` parity, see
+        flypylib_tpu.parallel.train).  Same seed => same params as the
+        single-device path (the step body is shared; pinned by
+        tests/test_parallel.py).
         """
         patch = self.spec.valid_size(self.cfg.patch_size)
         data = TrainData.build(image, labels, mask, patch)
 
         if self.state is None:
             self.init_state()
-        if self._train_step is None:
-            _, self._train_step, _ = make_train_step(self.spec, self.cfg)
+        if self._train_step is None or mesh is not getattr(
+            self, "_fit_mesh", None
+        ):
+            if mesh is not None:
+                from flypylib_tpu.parallel.train import make_dp_train_step
+
+                _, self._train_step, _ = make_dp_train_step(
+                    self.spec, self.cfg, mesh
+                )
+            else:
+                _, self._train_step, _ = make_train_step(self.spec, self.cfg)
+            self._fit_mesh = mesh
 
         for epoch in range(epochs):
             self.key, k = jax.random.split(self.key)
@@ -373,7 +393,7 @@ class Trainer:
     def _validate(self, val_data, val_tbars, threshold, window,
                   dist_thresh) -> dict:
         """Held-out metrics: masked-BCE loss, voxel PR, optional obj PR."""
-        from flypylib_tpu.infer.tiled import infer_volume
+        from flypylib_tpu.infer.tiled import TiledInference
         from flypylib_tpu.ops.matching import obj_pr, voxel_pr
         from flypylib_tpu.ops.nms import nms
 
@@ -381,7 +401,14 @@ class Trainer:
         variables = {"params": self.state.params}
         if self.state.batch_stats:
             variables["batch_stats"] = self.state.batch_stats
-        prob = infer_volume(self.spec, variables, np.asarray(v_img))
+        # ONE inference engine reused across validation epochs — a fresh
+        # TiledInference re-jits the tile forward every epoch (1-3 min of
+        # remote XLA compile per validation on a tunneled TPU); only the
+        # variables change between epochs
+        if self._val_engine is None:
+            self._val_engine = TiledInference(self.spec, variables)
+        self._val_engine.variables = variables
+        prob = self._val_engine.infer(np.asarray(v_img))
         lab = np.asarray(v_lab, np.float32)
         msk = np.asarray(v_mask, np.float32)
         eps = 1e-7

@@ -135,3 +135,45 @@ def test_ownership_filtering(tmp_path):
         glob = det.locs + np.asarray(roi.offset, np.float64)
         total.extend(map(tuple, glob))
     assert len(total) == len(set(total))  # nothing double-reported
+
+
+def test_heartbeat_prevents_steal_of_live_worker(tmp_path):
+    """A live worker processing an ROI longer than the lease keeps its
+    claim via the background heartbeat — no steal, no duplicate work."""
+    import time
+
+    rois = grid_rois(32, 16)  # 8 ROIs
+    source = make_source(32)
+    state = str(tmp_path / "q")
+    counters = [[0], [0]]
+    lock = threading.Lock()
+
+    def slow_pipeline(i):
+        def run(vol):
+            with lock:
+                counters[i][0] += 1
+            time.sleep(1.0)  # far longer than the 0.4 s lease
+            c = [s // 2 for s in vol.shape]
+            return Tbars(locs=np.asarray([c], np.float64),
+                         conf=np.asarray([1.0])), None
+
+        return run
+
+    results = {}
+
+    def worker(i):
+        results[i] = stream_rois_elastic(
+            slow_pipeline(i), rois, source, state_dir=state,
+            worker_id=f"w{i}", lease_s=0.4, n_workers_hint=2,
+        )
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    # every ROI processed exactly once despite each taking 2.5 leases
+    assert counters[0][0] + counters[1][0] == len(rois)
+    assert set(results[0]).isdisjoint(set(results[1]))
+    assert len(set(results[0]) | set(results[1])) == len(rois)

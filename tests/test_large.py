@@ -240,3 +240,90 @@ def test_streaming_device_cc_face_overflow_grows(model, rng):
     assert plan.F > 2  # grew
     assert plan.K == 4096  # K untouched by a face-only overflow
     assert_same_detections(host, got, loc_tol=1e-3)
+
+
+def test_default_tile_total_under_cap(model):
+    """_default_tile never returns a monolithic >cap tile: prime-ish
+    extents with no valid divisor fall back to an overshooting grid with
+    the largest valid tile <= cap (a monolithic 283^3 ROI tile OOMs via
+    XLA conv-patch materialization)."""
+    from flypylib_tpu.infer.large import _default_tile
+
+    spec, _ = model
+    for extent in (283, 277, 331, 401):  # primes > cap
+        d = _default_tile(extent, spec)
+        assert d <= 176, (extent, d)
+        assert d % max(spec.size_multiple, 1) == 0
+        assert spec.is_valid_size(d + 2 * spec.context)
+
+
+def test_streaming_overshoot_tiles(model, rng):
+    """A non-dividing tile_out (overshooting tile grid) stays exact —
+    the fallback _default_tile relies on this."""
+    spec, variables = model
+    vol = rng.random((41, 37, 43)).astype(np.float32)
+    prob = reference_prob(spec, variables, vol)
+    thr = float(np.quantile(prob, 0.99))
+    host = nms_host(prob, window=5, threshold=thr)
+    shape, read = array_reader(vol)
+    got = detect_streaming(
+        spec, variables, shape, read, core=23, tile_out=20,  # 33 % 20 != 0
+        window=5, threshold=thr, max_detections_per_roi=2048,
+    )
+    assert len(host) > 0
+    assert_same_detections(host, got)
+
+
+def test_check_plan_rejects_mismatched_args(model, rng):
+    """A plan silently overriding the caller's core/tile args raises."""
+    from flypylib_tpu.infer.large import make_stream_plan
+
+    spec, variables = model
+    vol = rng.random((40, 33, 37)).astype(np.float32)
+    shape, read = array_reader(vol)
+    plan = make_stream_plan(
+        spec, variables, shape, core=20, tile_out=20, threshold=0.5,
+    )
+    with pytest.raises(ValueError, match="core"):
+        detect_streaming(spec, variables, shape, read, core=32, plan=plan)
+    with pytest.raises(ValueError, match="tile_out"):
+        detect_streaming(
+            spec, variables, shape, read, tile_out=24, plan=plan
+        )
+    # omitted args (None) defer to the plan: no error
+    got = detect_streaming(spec, variables, shape, read, plan=plan)
+    prob = reference_prob(spec, variables, vol)
+    host = nms_host(prob, window=5, threshold=0.5)
+    assert_same_detections(host, got)
+
+
+def test_stage_volume_requires_plan_or_halo(rng):
+    from flypylib_tpu.infer.large import stage_volume
+
+    with pytest.raises(ValueError, match="plan or .*halo|halo"):
+        stage_volume(rng.random((8, 8, 8)).astype(np.float32))
+
+
+def test_staged_multi_device_bit_identical(model, rng):
+    """detect_staged(devices=...) fans the ROI sweep over local devices
+    with bit-identical detections (disjoint cores, order-exact merge)."""
+    from flypylib_tpu.infer.large import detect_staged
+
+    spec, variables = model
+    vol = rng.random((40, 33, 37)).astype(np.float32)
+    prob = reference_prob(spec, variables, vol)
+    thr = float(np.quantile(prob, 0.99))
+    single = detect_staged(
+        spec, variables, vol, core=20, window=5, threshold=thr,
+        method="both",
+    )
+    multi = detect_staged(
+        spec, variables, vol, core=20, window=5, threshold=thr,
+        method="both", devices=jax.devices()[:4],
+    )
+    for s, m in zip(single, multi):
+        np.testing.assert_array_equal(s.locs, m.locs)
+        np.testing.assert_array_equal(s.conf, m.conf)
+    host = nms_host(prob, window=5, threshold=thr)
+    assert len(host) > 0
+    assert_same_detections(host, multi[0])

@@ -70,3 +70,28 @@ def test_packed_unet_non_unet_returns_none():
     from flypylib_tpu.models.zoo import baseline_model
 
     assert packed_unet_spec(baseline_model()) is None
+
+
+def test_crop_packed_matches_unpack_crop_repack(rng):
+    """crop_packed == pack(unpack[crop]) for even AND odd start offsets."""
+    from flypylib_tpu.ops.packed_conv import pack_volume, unpack_volume
+    from flypylib_tpu.ops.packed_unet import crop_packed
+
+    full = jnp.asarray(rng.random((2, 12, 14, 16, 3)), jnp.float32)
+    x = pack_volume(full)
+    for starts, sizes in [
+        ((2, 4, 0), (8, 6, 10)),   # even starts
+        ((1, 3, 5), (8, 6, 4)),    # odd starts (parity swap)
+        ((1, 2, 3), (10, 8, 6)),   # mixed
+    ]:
+        ref = pack_volume(
+            unpack_volume(x)[
+                :,
+                starts[0] : starts[0] + sizes[0],
+                starts[1] : starts[1] + sizes[1],
+                starts[2] : starts[2] + sizes[2],
+                :,
+            ]
+        )
+        got = crop_packed(x, starts, sizes)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

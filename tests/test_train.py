@@ -136,3 +136,65 @@ def test_fit_val_every(tmp_path):
     assert "val_loss" in hist[0]
     assert "val_loss" not in hist[1]
     assert "val_loss" in hist[2]
+
+
+def test_validation_engine_cached(monkeypatch):
+    """Validation reuses ONE TiledInference across epochs (a fresh engine
+    per epoch re-jits the tile forward — minutes on a remote TPU)."""
+    import flypylib_tpu.infer.tiled as tiled_mod
+
+    calls = []
+    real = tiled_mod.TiledInference
+
+    class Counting(real):
+        def __init__(self, *a, **kw):
+            calls.append(1)
+            super().__init__(*a, **kw)
+
+    monkeypatch.setattr(tiled_mod, "TiledInference", Counting)
+
+    image, labels, mask, _ = synthetic_task(size=32, n_pts=3, seed=0)
+    spec = small_spec()
+    cfg = TrainConfig(patch_size=13, batch_size=4, steps_per_epoch=2)
+    tr = Trainer(spec, cfg, seed=0)
+    tr.fit(image, labels, mask, epochs=3, val_data=(image, labels, mask))
+    assert len(calls) == 1  # one engine, three validation epochs
+    assert tr._val_engine is not None
+
+
+def test_fit_mesh_dp_matches_single_chip():
+    """Trainer.fit(mesh=...) (public mesh-DP entry) == single-device fit
+    with the same seed — params bitwise-comparable."""
+    from flypylib_tpu.parallel import make_mesh
+
+    image, labels, mask, _ = synthetic_task(size=24, n_pts=3, seed=0)
+    spec = small_spec()
+    cfg = TrainConfig(patch_size=13, batch_size=8, steps_per_epoch=3)
+
+    tr_single = Trainer(spec, cfg, seed=0)
+    tr_single.fit(image, labels, mask, epochs=2)
+
+    tr_dp = Trainer(spec, cfg, seed=0)
+    tr_dp.fit(image, labels, mask, epochs=2, mesh=make_mesh(4, axis="data"))
+
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(tr_single.state.params),
+                    jax.tree_util.tree_leaves(tr_dp.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_network_train_mesh_kwarg():
+    """FplNetwork.train forwards mesh= to the trainer (public API row)."""
+    from flypylib_tpu.network import FplNetwork
+    from flypylib_tpu.parallel import make_mesh
+
+    image, labels, mask, _ = synthetic_task(size=24, n_pts=3, seed=1)
+    net = FplNetwork(
+        "baseline", features=(4,), dilations=(1,), head_features=8,
+        train_config=TrainConfig(patch_size=13, batch_size=8,
+                                 steps_per_epoch=2),
+    )
+    hist = net.train(image, labels, mask, epochs=1,
+                     mesh=make_mesh(4, axis="data"))
+    assert np.isfinite(hist[0]["loss"])
