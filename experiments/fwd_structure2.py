@@ -61,7 +61,10 @@ def timeit(fn, args, iters=5, reps=3):
 def main():
     rng = np.random.default_rng(0)
     rows = []
-    open("experiments/fwd_structure2.jsonl", "w").close()
+    import sys as _sys
+
+    if "--skip-carry" not in _sys.argv:
+        open("experiments/fwd_structure2.jsonl", "w").close()
 
     def rec(name, dt, out_vox):
         row = {
@@ -131,8 +134,11 @@ def main():
 
         return fwd
 
-    rec("carry", timeit(make_carry(1), (big,)), out_vox)
-    rec("carry_unroll4", timeit(make_carry(4), (big,)), out_vox)
+    import sys
+
+    if "--skip-carry" not in sys.argv:
+        rec("carry", timeit(make_carry(1), (big,)), out_vox)
+        rec("carry_unroll4", timeit(make_carry(4), (big,)), out_vox)
 
     # pre-gathered tiles: (S*nb, B, tin, tin, tin) resident in HBM
     tiles_list = []
@@ -163,7 +169,7 @@ def main():
 
     rec("pregather_sum", timeit(fwd_pregather_sum, (tiles_all,)), out_vox)
 
-    def fwd_pregather_scat(tiles_all, i):
+    def fwd_pregather_scat(tiles_all, corners_all, i):
         out0 = jnp.zeros(pipe._out_shape, jnp.float32)
 
         def body(out, args):

@@ -168,8 +168,11 @@ class _StreamPlan:
         # plus the conv context for the halo's own probs
         self.fetch_halo = h + ctx
 
-        self.core = int(core)
-        self.core_dims = [min(core, s) for s in shape]
+        # core may be an int (cubic) or a (z, y, x) triple — anisotropic
+        # cores cut the ROI count (fixed per-ROI postprocess cost) while
+        # keeping per-axis halo redundancy low
+        self.core = int(core) if np.isscalar(core) else tuple(to3d(core))
+        self.core_dims = [min(c, s) for c, s in zip(to3d(core), shape)]
         # ownership partition: non-overlapping cores covering the volume
         starts = [
             list(range(0, s, c)) for s, c in zip(shape, self.core_dims)
@@ -563,6 +566,11 @@ def make_stream_plan(
     """Build the reusable streaming-detection engine (ROI grid + compiled
     pipelines) for :func:`detect_streaming` / :func:`detect_staged`.
 
+    ``core`` is the ROI ownership box: an int (cubic) or a ``(z, y, x)``
+    triple — anisotropic cores reduce the ROI count (and with it the
+    fixed per-ROI postprocess cost) without growing per-axis halo
+    redundancy.
+
     Reuse one plan across calls on same-shaped volumes: every fresh plan
     re-jits the tile forward and postprocess (minutes of XLA compile on a
     remote TPU).  ``threshold`` is traced and may differ per call; the
@@ -600,7 +608,7 @@ def _check_plan(plan, shape, window, method, threshold, cc_impl=None,
         raise ValueError(
             f"plan cc_impl {plan.cc_impl!r} != {cc_impl!r}"
         )
-    if core is not None and core != plan.core:
+    if core is not None and tuple(to3d(core)) != tuple(to3d(plan.core)):
         raise ValueError(f"plan core {plan.core} != caller core {core}")
     for name, want, have in (
         ("tile_out", tile_out, plan.req_tile[0]),

@@ -141,7 +141,7 @@ class PackedConvStack:
     (packed fast path for ``train=False``, inner module for training).
     """
 
-    def __init__(self, inner: ConvStack):
+    def __init__(self, inner: ConvStack, stage_b: str = "split"):
         if inner.kernel != 3:
             raise ValueError("packed path supports kernel=3 only")
         dils = [int(d) for d in inner.dilations]
@@ -152,11 +152,24 @@ class PackedConvStack:
                 raise ValueError(
                     f"dilation schedule {dils} must be non-decreasing"
                 )
+        if stage_b not in ("group", "split"):
+            raise ValueError(f"unknown stage_b {stage_b!r}")
         self.inner = inner
         self.dilations = dils
         self.n_lead = next(
             (i for i, d in enumerate(dils) if d > 1), len(dils)
         )
+        # "split" (default): the parity-batched formulation.  "group"
+        # keeps the dilated layers in the PACKED domain as feature-group
+        # convs (the 8 parity groups are the groups; a dilation-d conv
+        # only connects equal-parity voxels, so cell dilation d/2 per
+        # group is exact) — exact, looser size constraints
+        # (size_multiple stays 2 even with dilation 4), but
+        # measured-and-REJECTED for the default: XLA lowers
+        # feature-group convs poorly on TPU (full chain 41.8 ms vs 24.7
+        # split — experiments/chain_fix.jsonl round 3).  Kept for A/B
+        # and for dilation-4 models that need the looser alignment.
+        self.stage_b = stage_b if self.n_lead else "split"
         self.dtype = inner.dtype
 
     # --- ModelSpec protocol -------------------------------------------
@@ -213,11 +226,18 @@ class PackedConvStack:
                 w = params[f"Conv_{i}"]["kernel"].astype(dt)
                 x = _conv(x, pack_weight_d1(w))
                 x = body_epilogue(x, i, 8)
+            if self.stage_b == "group":
+                return self._stage_b_group(variables, x, params, dt)
             # packed channels (parity-major) -> parity-batched lattices
             b0, d, h, w_, c8 = x.shape
             c = c8 // 8
             x = x.reshape(b0, d, h, w_, 8, c)
             x = x.transpose(0, 4, 1, 2, 3, 5).reshape(b0 * 8, d, h, w_, c)
+            # materialize the split before the first stage-B conv: letting
+            # XLA fuse the transpose into the conv's input costs ~6x on
+            # that conv (round-3 chain study — barrier'd full chain 23.4
+            # ms vs 26.4, experiments/chain_prefix.jsonl + chain_fix2)
+            x = lax.optimization_barrier(x)
             level = 1
         else:
             level = 0
@@ -242,56 +262,124 @@ class PackedConvStack:
         x = _conv(x, w).astype(dt) + b
         x = jax.nn.relu(x)
 
-        # logits conv: ConvStack's head is f32, but upcasting the
-        # 96-channel activation to f32 is pure HBM bandwidth (bf16->f32
-        # is value-exact, so the f32 conv gains nothing from the input
-        # side).  Split the f32 weight into two bf16 terms (w = hi + lo,
-        # ~16 mantissa bits) stacked on the output channel, run ONE bf16
-        # conv with f32 MXU accumulation, and sum — measured 2.2x faster
-        # (experiments/t64_profile.jsonl) at ~1e-6 relative error vs the
-        # f32 conv, far inside the engine's bf16-parity tolerance.
-        w = params[f"Conv_{n_body + 1}"]["kernel"].astype(jnp.float32)
-        b = params[f"Conv_{n_body + 1}"]["bias"].astype(jnp.float32)
-        w_hi = w.astype(dt)
-        w_lo = (w - w_hi.astype(jnp.float32)).astype(dt)
-        y = lax.conv_general_dilated(
-            x.astype(dt), jnp.concatenate([w_hi, w_lo], axis=-1),
-            (1, 1, 1), "VALID",
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=jnp.float32,
-        )
-        x = y[..., : w.shape[-1]] + y[..., w.shape[-1] :] + b
+        x = self._logits_split_weight(x, params, dt)
 
         # merge parity lattices back to full resolution
         for _ in range(level):
             x = parity_merge(x)
         return x
 
+    def _logits_split_weight(self, x, params, dt, groups: int = 1):
+        """Logits conv: ConvStack's head is f32, but upcasting the
+        96-channel activation to f32 is pure HBM bandwidth (bf16->f32
+        is value-exact, so the f32 conv gains nothing from the input
+        side).  Split the f32 weight into two bf16 terms (w = hi + lo,
+        ~16 mantissa bits) stacked on the output channel, run ONE bf16
+        conv with f32 MXU accumulation, and sum — measured 2.2x faster
+        (experiments/t64_profile.jsonl) at ~1e-6 relative error vs the
+        f32 conv, far inside the engine's bf16-parity tolerance.
+
+        ``groups`` > 1 runs the (parity-independent) 1x1 conv per parity
+        group of a packed tensor; output is (..., groups) logits."""
+        n_body = len(self.inner.features)
+        w = params[f"Conv_{n_body + 1}"]["kernel"].astype(jnp.float32)
+        b = params[f"Conv_{n_body + 1}"]["bias"].astype(jnp.float32)
+        w_hi = w.astype(dt)
+        w_lo = (w - w_hi.astype(jnp.float32)).astype(dt)
+        wcat = jnp.concatenate([w_hi, w_lo], axis=-1)
+        if groups > 1:
+            wcat = jnp.tile(wcat, (1, 1, 1, 1, groups))
+        y = lax.conv_general_dilated(
+            x.astype(dt), wcat, (1, 1, 1), "VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.float32,
+        )
+        co = w.shape[-1]  # logits channels (1)
+        if groups > 1:
+            y = y.reshape(*y.shape[:-1], groups, 2 * co)
+            return y[..., :co] + y[..., co:] + b  # (..., groups, co)
+        return y[..., :co] + y[..., co:] + b
+
+    def _stage_b_group(self, variables, x, params, dt):
+        """Stage B + head + logits entirely in the PACKED domain.
+
+        A dilation-d conv (d = 2^k >= 2) connects voxels of equal
+        coordinates mod 2, i.e. within one parity group of the packed
+        tensor; on the cell lattice its taps step d/2 cells.  So each
+        dilated 3^3 layer is ONE feature-group conv (groups = the 8
+        parity channel groups, kernel tiled per group, rhs_dilation
+        d/2) — no parity_split relayout, no batch blow-up.  Measured:
+        the split transpose composed with the first stage-B conv at 16.5
+        ms vs 2.7 standalone (experiments/chain_prefix.jsonl); the
+        grouped form runs the same FLOPs straight off the packed layout.
+        """
+        n_body = len(self.inner.features)
+        for i in range(self.n_lead, n_body):
+            d = self.dilations[i]
+            w = params[f"Conv_{i}"]["kernel"].astype(dt)
+            x = lax.conv_general_dilated(
+                x, jnp.tile(w, (1, 1, 1, 1, 8)), (1, 1, 1), "VALID",
+                rhs_dilation=(d // 2,) * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                feature_group_count=8,
+            )
+            x = self._epilogue(variables, x, i, dt)
+
+        # head 1x1x1 conv + relu per parity group
+        w = params[f"Conv_{n_body}"]["kernel"].astype(dt)
+        b = params[f"Conv_{n_body}"]["bias"].astype(dt)
+        x = lax.conv_general_dilated(
+            x, jnp.tile(w, (1, 1, 1, 1, 8)), (1, 1, 1), "VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=8,
+        ).astype(dt) + jnp.tile(b, 8)
+        x = jax.nn.relu(x)
+
+        y = self._logits_split_weight(x, params, dt, groups=8)
+        # (..., 8, co): parity-major groups -> full resolution
+        return unpack_volume(y.reshape(*y.shape[:-2], 8 * y.shape[-1]))
+
+    def _epilogue(self, variables, y, i, dt, tile: int = 8):
+        """bias (+ BatchNorm) + ReLU with channel params tiled per
+        parity group (packed-domain epilogue)."""
+        params = variables["params"]
+        b = params[f"Conv_{i}"]["bias"].astype(dt)
+        y = y + jnp.tile(b, tile)
+        if self.inner.use_batchnorm:
+            scale, shift = self._affine(variables, i)
+            y = (
+                y * jnp.tile(scale.astype(dt), tile)
+                + jnp.tile(shift.astype(dt), tile)
+            )
+        return jax.nn.relu(y)
+
     def __repr__(self):
         return f"PackedConvStack({self.inner!r})"
 
 
 @functools.lru_cache(maxsize=16)
-def _packed_geometry(module: ConvStack):
-    pm = PackedConvStack(module)
+def _packed_geometry(module: ConvStack, stage_b: str):
+    pm = PackedConvStack(module, stage_b=stage_b)
     return _probe_geometry(pm, lo=8, hi=140)
 
 
-def packed_spec(spec: ModelSpec) -> ModelSpec | None:
+def packed_spec(spec: ModelSpec, stage_b: str = "split") -> ModelSpec | None:
     """A ModelSpec running ``spec`` through the packed inference engine.
 
     Returns ``None`` when the model is not a supported ConvStack (U-Nets
     and exotic dilation schedules fall back to the plain path).  The
     returned spec shares the inner module's params tree; its
     ``size_multiple``/``size_offset`` encode the packing alignment so the
-    tile planner keeps tiled == monolithic bitwise.
+    tile planner keeps tiled == monolithic bitwise.  ``stage_b`` selects
+    the dilated-stage formulation (see :class:`PackedConvStack`).
     """
     module = spec.module
     if not isinstance(module, ConvStack):
         return None
     try:
-        pm = PackedConvStack(module)
-        ctx, mult, off, min_size = _packed_geometry(module)
+        pm = PackedConvStack(module, stage_b=stage_b)
+        ctx, mult, off, min_size = _packed_geometry(module, stage_b)
     except (ValueError, TypeError):
         return None
     if ctx != spec.context:

@@ -127,8 +127,14 @@ class PackedUNet:
     packed fast path for ``train=False`` and the inner module for
     training."""
 
-    def __init__(self, inner: UNetValid):
+    def __init__(self, inner: UNetValid, barriers: bool = False):
+        # ``barriers``: materialize each pack_volume relayout with
+        # lax.optimization_barrier before the conv that consumes it —
+        # the same transpose-fused-into-conv defect fixed in
+        # PackedConvStack (experiments/chain_fix2.jsonl); A/B'd in
+        # experiments/unet_profile.py
         self.inner = inner
+        self.barriers = barriers
         self.dtype = inner.dtype
 
     def init(self, key, x, train: bool = False):
@@ -155,7 +161,8 @@ class PackedUNet:
             y = _conv2(x, pack_weight_d1(w)) + jnp.tile(b, 8)
             return jax.nn.relu(y)
 
-        x = pack_volume(x.astype(dt))
+        bar = lax.optimization_barrier if self.barriers else (lambda v: v)
+        x = bar(pack_volume(x.astype(dt)))
         skips = []
         for _ in range(levels):
             for _ in range(cps):
@@ -163,13 +170,13 @@ class PackedUNet:
                 conv_i += 1
             skips.append(x)
             # pool == parity-group max; re-pack for the next level
-            x = pack_volume(parity_group_max(x))
+            x = bar(pack_volume(parity_group_max(x)))
 
         # bottleneck (packed one lattice deeper than the last skip)
         for _ in range(cps):
             x = packed_conv_relu(x, conv_i)
             conv_i += 1
-        x = unpack_volume(x)  # dense at the deepest pooled resolution
+        x = bar(unpack_volume(x))  # dense at the deepest pooled resolution
 
         for lev in reversed(range(levels)):
             # x: DENSE tensor at this level's coarse resolution — which is
@@ -223,7 +230,7 @@ class PackedUNet:
                 x = packed_conv_relu(x, conv_i)
                 conv_i += 1
             if lev > 0:
-                x = unpack_volume(x)  # dense input for the next fold
+                x = bar(unpack_volume(x))  # dense input for the next fold
 
         # logits 1x1 conv (parity-independent): split-weight bf16 with
         # f32 accumulation (same trick as PackedConvStack — bf16->f32 is
@@ -254,7 +261,8 @@ def _packed_unet_geometry(module: UNetValid):
     return _probe_geometry(pm, lo=8, hi=200)
 
 
-def packed_unet_spec(spec: ModelSpec) -> ModelSpec | None:
+def packed_unet_spec(spec: ModelSpec,
+                     barriers: bool = False) -> ModelSpec | None:
     """A ModelSpec running a UNetValid ``spec`` through the packed
     engine, or ``None`` when the module is not a UNetValid.  Shares the
     inner params tree; exports the packed (stricter) size constraints."""
@@ -262,7 +270,7 @@ def packed_unet_spec(spec: ModelSpec) -> ModelSpec | None:
     if not isinstance(module, UNetValid):
         return None
     try:
-        pm = PackedUNet(module)
+        pm = PackedUNet(module, barriers=barriers)
         ctx, mult, off, min_size = _packed_unet_geometry(module)
     except (ValueError, TypeError):
         return None

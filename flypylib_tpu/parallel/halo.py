@@ -106,6 +106,8 @@ def sharded_infer(
     axis="space",
     pad_mode: str = "reflect",
     tile_z: int | None = None,
+    tile_out: int | None = None,
+    tile_batch: int = 8,
 ):
     """Volume-sharded whole-volume inference over 1, 2, or 3 mesh axes.
 
@@ -119,6 +121,15 @@ def sharded_infer(
     activation memory — the shard then scans over z-subtiles in HBM, so
     arbitrarily large blocks fit (pod-scale volumes, eval config 5
     [B:11]).
+
+    ``tile_out`` switches the per-shard forward to the batched
+    small-cube tile sweep (``tile_batch`` tiles per MXU dispatch) — the
+    fast conv regime: batched 64^3 tiles measured 1.5x+ over monolithic
+    big-spatial blocks (BENCH_NOTES.md round-2 sweep; the same regime
+    the single-chip streaming engine runs).  Tile starts stay aligned to
+    the model's ``size_multiple`` relative to the GLOBAL volume (shard
+    extents are already aligned), so sharded == monolithic stays
+    bitwise.  Mutually exclusive with ``tile_z``.
     """
     axes = _axes_tuple(axis)
     az = axes[0]
@@ -136,12 +147,26 @@ def sharded_infer(
     sx = _shard_extent(vx, nx, c, spec) if ax_ else vx
     vz_p, vy_p, vx_p = nz * sz, ny * sy, nx * sx
     if tile_z is not None:
+        if tile_out is not None:
+            raise ValueError("pass tile_z or tile_out, not both")
         if sz % tile_z != 0:
             raise ValueError(f"tile_z {tile_z} must divide z-extent {sz}")
         if spec.size_multiple > 1 and tile_z % spec.size_multiple != 0:
             raise ValueError(
                 f"tile_z {tile_z} must be a multiple of "
                 f"{spec.size_multiple} for packing/pooling-phase alignment"
+            )
+    if tile_out is not None:
+        mult = max(spec.size_multiple, 1)
+        if tile_out % mult != 0:
+            raise ValueError(
+                f"tile_out {tile_out} must be a multiple of {mult} for "
+                "packing/pooling-phase alignment"
+            )
+        if not spec.is_valid_size(tile_out + 2 * c):
+            raise ValueError(
+                f"tile_out {tile_out} + 2*context is not a valid model "
+                "input size"
             )
 
     # ONE reflect pad of the original volume (exactly the monolithic
@@ -176,7 +201,61 @@ def sharded_infer(
             jnp.asarray(full[:, :, c + vx_p :]),
         )
 
+    def fwd_tiled(variables, x):
+        """Batched small-cube tile sweep over one shard's halo-extended
+        block — identical structure to TiledInference.run_device, run
+        INSIDE shard_map so every chip works the fast conv regime."""
+        tout = tile_out
+        tin = tout + 2 * c
+        bshape = (x.shape[0] - 2 * c, x.shape[1] - 2 * c,
+                  x.shape[2] - 2 * c)
+        starts, padded = [], []
+        for s in bshape:
+            k = max(0, ceil_div(s - tout, tout))
+            starts.append([i * tout for i in range(k + 1)])
+            padded.append(k * tout + tout)
+        # zero-extend so the static grid fits (extension feeds only
+        # cropped output voxels — same rule as TiledInference)
+        x = jnp.pad(x, [(0, p + 2 * c - q) for p, q in
+                        zip(padded, x.shape)])
+        corners = np.asarray(
+            [(z, y, w) for z in starts[0] for y in starts[1]
+             for w in starts[2]], np.int32,
+        )
+        B = min(tile_batch, len(corners))
+        nbat = ceil_div(len(corners), B)
+        corners = np.concatenate(
+            [corners, np.repeat(corners[-1:], nbat * B - len(corners),
+                                axis=0)]
+        ).reshape(nbat, B, 3)
+
+        def body(out, cb):
+            tiles = jax.vmap(
+                lambda cc_: lax.dynamic_slice(
+                    x, (cc_[0], cc_[1], cc_[2]), (tin, tin, tin)
+                )
+            )(cb)
+            logits = spec.module.apply(
+                variables, tiles[..., None], train=False
+            )
+            probs = jax.nn.sigmoid(logits[..., 0])
+
+            def write(out, args):
+                tile, cc_ = args
+                return lax.dynamic_update_slice(
+                    out, tile, (cc_[0], cc_[1], cc_[2])
+                ), None
+
+            out, _ = lax.scan(write, out, (probs, cb))
+            return out, None
+
+        out0 = jnp.zeros(tuple(padded), jnp.float32)
+        out, _ = lax.scan(body, out0, jnp.asarray(corners))
+        return out[: bshape[0], : bshape[1], : bshape[2]]
+
     def fwd(variables, x):
+        if tile_out is not None:
+            return fwd_tiled(variables, x)
         if tile_z is None:
             logits = spec.module.apply(
                 variables, x[None, ..., None], train=False

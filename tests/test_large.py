@@ -327,3 +327,19 @@ def test_staged_multi_device_bit_identical(model, rng):
     host = nms_host(prob, window=5, threshold=thr)
     assert len(host) > 0
     assert_same_detections(host, multi[0])
+
+
+def test_streaming_anisotropic_core(model, rng):
+    """core=(z, y, x) triples partition exactly like cubic cores."""
+    spec, variables = model
+    vol = rng.random((50, 41, 47)).astype(np.float32)
+    prob = reference_prob(spec, variables, vol)
+    thr = float(np.quantile(prob, 0.99))
+    host = nms_host(prob, window=5, threshold=thr)
+    shape, read = array_reader(vol)
+    got = detect_streaming(
+        spec, variables, shape, read, core=(48, 24, 16), tile_out=24,
+        window=5, threshold=thr, max_detections_per_roi=2048,
+    )
+    assert len(host) > 0
+    assert_same_detections(host, got)

@@ -190,3 +190,36 @@ def test_packed_train_delegates(rng):
     ref = spec.apply(variables, x, train=True)
     got = pspec.apply(variables, x, train=True)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_stage_b_group_equals_split(rng):
+    """The grouped stage-B formulation (packed-domain feature-group
+    convs) == the parity-batched split formulation, including dilation-4
+    layers (cell dilation 2)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flypylib_tpu.models.zoo import baseline_model, vgg_like
+    from flypylib_tpu.ops.packed_conv import packed_spec
+
+    for mk in (
+        lambda: baseline_model(features=(4, 6, 8), dilations=(1, 2, 2),
+                               head_features=8, dtype=jnp.float32),
+        lambda: vgg_like(features=(4, 6, 8), dilations=(1, 2, 4),
+                         head_features=8, dtype=jnp.float32),
+    ):
+        spec = mk()
+        g = packed_spec(spec, stage_b="group")
+        s = packed_spec(spec, stage_b="split")
+        # the split engine's size constraints are stricter (dilation-4
+        # needs two pack levels); pick a size valid for both
+        sz = s.valid_size(max(g.min_size, s.min_size) + 16)
+        assert g.is_valid_size(sz)
+        variables = spec.init(jax.random.PRNGKey(0), sz)
+        x = jnp.asarray(rng.random((1, sz, sz, sz, 1)), jnp.float32)
+        out_g = np.asarray(g.module.apply(variables, x, train=False))
+        out_s = np.asarray(s.module.apply(variables, x, train=False))
+        np.testing.assert_allclose(out_g, out_s, rtol=1e-5, atol=1e-6)
+        plain = np.asarray(spec.module.apply(variables, x, train=False))
+        np.testing.assert_allclose(out_g, plain, rtol=1e-4, atol=1e-5)

@@ -483,3 +483,68 @@ def test_sharded_infer_3d_packed_spec(mesh3d, rng):
         sharded_infer(pspec, variables, vol, mesh3d, axis=AX3)
     )
     np.testing.assert_allclose(shard, mono, rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_infer_tile_out_batched(small_model, rng):
+    """Per-shard batched small-cube tile sweep (the fast conv regime)
+    == monolithic, bitwise — 1-D mesh."""
+    spec, variables = small_model
+    mesh = make_mesh(4, axis="space")
+    vol = rng.random((32, 20, 20)).astype(np.float32)
+    mono = monolithic(spec, variables, vol)
+    shard = np.asarray(
+        sharded_infer(spec, variables, vol, mesh, tile_out=8,
+                      tile_batch=4)
+    )
+    np.testing.assert_array_equal(shard, mono)
+
+
+def test_sharded_infer_tile_out_2d_nondivisible(small_model, mesh2d, rng):
+    """tile_out sweep with grid overshoot inside shards, 2-D mesh,
+    non-divisible volume — still bitwise monolithic."""
+    spec, variables = small_model
+    vol = rng.random((30, 22, 17)).astype(np.float32)
+    mono = monolithic(spec, variables, vol)
+    shard = np.asarray(
+        sharded_infer(spec, variables, vol, mesh2d,
+                      axis=("spacez", "spacey"), tile_out=12,
+                      tile_batch=3)
+    )
+    np.testing.assert_array_equal(shard, mono)
+
+
+def test_sharded_infer_tile_out_packed_spec(rng):
+    """tile_out sweep composes with the packed engine (size_multiple=2):
+    aligned tile starts keep packing phase — equal to plain monolithic."""
+    from flypylib_tpu.ops.packed_conv import packed_spec
+    from flypylib_tpu.parallel import make_mesh_2d
+
+    spec = baseline_model(features=(4, 6), dilations=(1, 2),
+                          head_features=8, dtype=jnp.float32)
+    pspec = packed_spec(spec)
+    variables = spec.init(jax.random.PRNGKey(0), 16)
+    mesh = make_mesh_2d((2, 2), axes=("spacez", "spacey"))
+    vol = rng.random((20, 18, 16)).astype(np.float32)
+    mono = monolithic(spec, variables, vol)
+    shard = np.asarray(
+        sharded_infer(pspec, variables, vol, mesh,
+                      axis=("spacez", "spacey"), tile_out=8,
+                      tile_batch=4)
+    )
+    np.testing.assert_allclose(shard, mono, rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_infer_tile_out_validation(small_model):
+    spec, variables = small_model
+    from flypylib_tpu.ops.packed_conv import packed_spec
+
+    mesh = make_mesh(4, axis="space")
+    vol = np.zeros((32, 16, 16), np.float32)
+    with pytest.raises(ValueError, match="not both"):
+        sharded_infer(spec, variables, vol, mesh, tile_z=8, tile_out=8)
+    base = baseline_model(features=(4,), dilations=(1,), head_features=8,
+                          dtype=jnp.float32)
+    ps = packed_spec(base)
+    pvars = base.init(jax.random.PRNGKey(0), 16)
+    with pytest.raises(ValueError, match="multiple"):
+        sharded_infer(ps, pvars, vol, mesh, tile_out=7)
