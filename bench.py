@@ -271,8 +271,13 @@ def bench_unet(size: int = 192):
         np.uint8
     )
     q = 1.0 - 2000.0 / vol.size
+    # tile 96 x batch 2: round-3 sweep winner (36.2 Mvox/s at 192^3,
+    # experiments/unet_profile3.jsonl) — the context-20 U-Net prefers
+    # mid-size tiles once pool_pack removed the per-level relayout; NB
+    # tile 96 x batch 4 reproducibly crashes the TPU worker (Mosaic/XLA
+    # codegen fault) — keep batch 2 at this tile
     pipe = DetectPipeline(
-        pspec, variables, vol.shape, tile_out=64, tile_batch=8,
+        pspec, variables, vol.shape, tile_out=96, tile_batch=2,
         window=5, threshold_quantile=q,
         max_detections=4096, max_components=4096,
     )

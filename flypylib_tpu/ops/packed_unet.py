@@ -54,6 +54,26 @@ def parity_group_max(x: jax.Array) -> jax.Array:
     return x.reshape(b, d, h, w, 8, c8 // 8).max(axis=4)
 
 
+def pool_pack(x: jax.Array) -> jax.Array:
+    """``pack_volume(parity_group_max(x))`` without the pack transpose.
+
+    The composition is the U-Net's per-level pool+repack; as written it
+    cost 8.5 ms/level-0 (vs 11.1 for BOTH encoder convs) — the
+    ``pack_volume`` reshape/transpose is lane-hostile on TPU
+    (experiments/unet_prefix.jsonl).  Here the packed result is built
+    from 8 STRIDED SLICES of the pooled tensor (channel dim stays
+    contiguous/minor, same trick as :func:`crop_packed`), concatenated
+    parity-major — bitwise identical output.
+    """
+    m = parity_group_max(x)  # (B, D, H, W, C) dense at the coarse lattice
+    if any(s % 2 for s in m.shape[1:4]):
+        raise ValueError(f"pool_pack needs even cell dims, got {m.shape}")
+    parts = [
+        m[:, pz::2, py::2, px::2, :] for pz, py, px in _PARITY
+    ]
+    return jnp.concatenate(parts, axis=-1)
+
+
 def convT_packed_weight(k: jax.Array) -> jax.Array:
     """(2,2,2,Ci,Co) ConvTranspose kernel -> (Ci, 8Co) matrix whose
     output channels are parity-major packed.  Flax's ConvTranspose
@@ -169,8 +189,8 @@ class PackedUNet:
                 x = packed_conv_relu(x, conv_i)
                 conv_i += 1
             skips.append(x)
-            # pool == parity-group max; re-pack for the next level
-            x = bar(pack_volume(parity_group_max(x)))
+            # pool == parity-group max; re-pack via strided slices
+            x = bar(pool_pack(x))
 
         # bottleneck (packed one lattice deeper than the last skip)
         for _ in range(cps):

@@ -95,3 +95,14 @@ def test_crop_packed_matches_unpack_crop_repack(rng):
         )
         got = crop_packed(x, starts, sizes)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_pool_pack_matches_transpose_form(rng):
+    """pool_pack (strided slices) == pack_volume(parity_group_max(x))."""
+    from flypylib_tpu.ops.packed_conv import pack_volume
+    from flypylib_tpu.ops.packed_unet import parity_group_max, pool_pack
+
+    x = jnp.asarray(rng.random((2, 8, 10, 12, 24)), jnp.float32)
+    ref = pack_volume(parity_group_max(x))
+    got = pool_pack(x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
