@@ -125,3 +125,21 @@ def test_detect_large_verb(trained_net):
         assert len(got) == len(mono)
         np.testing.assert_array_equal(got.locs, mono.locs)
         np.testing.assert_array_equal(got.conf, mono.conf)
+
+
+def test_detect_large_devices_passthrough(rng):
+    """FplNetwork.detect_large forwards devices= to the staged path."""
+    import jax
+
+    from flypylib_tpu.network import FplNetwork
+
+    net = FplNetwork("baseline", features=(4, 6), dilations=(1, 2),
+                     head_features=8)
+    vol = rng.random((36, 30, 30)).astype(np.float32)
+    d1 = net.detect_large(vol, core=16, window=5, threshold=0.6,
+                          staged=True)
+    dn = net.detect_large(vol, core=16, window=5, threshold=0.6,
+                          staged=True, devices=jax.devices()[:4])
+    assert len(d1) == len(dn)
+    np.testing.assert_array_equal(d1.locs, dn.locs)
+    np.testing.assert_array_equal(d1.conf, dn.conf)
