@@ -78,6 +78,7 @@ class DetectPipeline:
         pad_mode: str = "reflect",
         run_cc: bool = True,
         pre_padded: bool = False,
+        two_phase: bool | None = None,
     ):
         from flypylib_tpu.infer.tiled import TiledInference
         from flypylib_tpu.ops.components import components_device
@@ -243,6 +244,65 @@ class DetectPipeline:
         self._make_post = make_post
         self._posts: dict = {}
 
+        # two-phase slab forward: phase A (pack + stage-A convs + parity
+        # split) and phase B (stage-B convs + head + logits + stitch) as
+        # SEPARATE dispatches.  Inside one executable XLA schedules the
+        # first stage-B conv ~5x slower after the split even with a
+        # barrier; across a dispatch boundary it runs at full speed
+        # (chain_fix3 study) — ~1.9x on the conv chain.  Dispatches are
+        # async, so the extra boundary costs no host blocking.
+        mod = spec.module
+        if two_phase is None:
+            two_phase = (
+                hasattr(mod, "apply_stage_a")
+                and hasattr(mod, "apply_stage_b")
+                and getattr(mod, "stage_b", None) == "split"
+                and getattr(mod, "n_lead", 0) > 0
+            )
+        self.two_phase = bool(two_phase)
+        if self.two_phase:
+            _, py_, px_ = self.padded_shape
+
+            @jax.jit
+            def slab_phase_a(variables, big, origin, zs, local):
+                scale = input_scale
+                if big.dtype == jnp.uint8:
+                    scale = (1.0 / 255.0) if scale is None else scale
+                slab = lax.dynamic_slice(
+                    big, (origin[0] + zs, origin[1], origin[2]),
+                    (tin, py_, px_),
+                )
+
+                def body(_, corner_batch):
+                    tiles = jax.vmap(
+                        lambda c: lax.dynamic_slice(
+                            slab, (c[0], c[1], c[2]), (tin, tin, tin)
+                        )
+                    )(corner_batch)
+                    x = tiles.astype(jnp.float32)
+                    if scale is not None:
+                        x = x * scale
+                    return None, spec.module.apply_stage_a(
+                        variables, x[..., None]
+                    )
+
+                _, xa = lax.scan(body, None, local)
+                return xa  # (nb, 8B, d, h, w, c)
+
+            @functools.partial(jax.jit, donate_argnums=(2,))
+            def slab_phase_b(variables, xa, out, local, zs):
+                def body(out, args):
+                    xab, corner_batch = args
+                    logits = spec.module.apply_stage_b(variables, xab)
+                    probs = jax.nn.sigmoid(logits[..., 0])
+                    return write_tiles(out, probs, corner_batch, zs), None
+
+                out, _ = lax.scan(body, out, (xa, local))
+                return out
+
+            self._slab_phase_a = slab_phase_a
+            self._slab_phase_b = slab_phase_b
+
         # single-dispatch forward over a device-resident global volume:
         # every slab slice + tile sweep + stitch runs in ONE executable
         # with a TRACED origin, so one compile serves every ROI of a
@@ -292,6 +352,21 @@ class DetectPipeline:
             self._fwd_from_fused = fwd_from_fused
         else:  # ragged slab grids fall back to the per-slab path
             self._fwd_from_fused = None
+
+    def _forward_two_phase(self, big, origin, variables):
+        """Per-slab phase-A/phase-B dispatch loop over a device-resident
+        volume (all dispatches async; ``xa`` and ``out`` are donated so
+        peak HBM is one slab's stage-A activations + the output map)."""
+        origin = jnp.asarray(origin, jnp.int32)
+        out = jnp.zeros(self._out_shape, dtype=jnp.float32)
+        for zs, local in self._slabs:
+            xa = self._slab_phase_a(
+                variables, big, origin, jnp.int32(zs), local
+            )
+            out = self._slab_phase_b(
+                variables, xa, out, local, jnp.int32(zs)
+            )
+        return out
 
     def prepare(self, volume: np.ndarray) -> np.ndarray:
         """Host-side pad (reflect halo + grid extension).  uint8 stays
@@ -356,14 +431,18 @@ class DetectPipeline:
         such that ``big[origin : origin + padded_shape]`` equals what
         :meth:`prepare` would have produced for this ROI.  Slab slices are
         device-to-device (HBM bandwidth) — no host wire in the loop; the
-        whole ROI forward is ONE dispatch (origin is traced, so one
-        compile serves every ROI of a streaming sweep).
+        ROI forward is ONE dispatch on the fused path, or 2 async
+        dispatches per slab on the (default, faster) two-phase packed
+        path — origin/zs are traced either way, so one compile serves
+        every ROI of a streaming sweep.
 
         ``variables`` overrides ``self.variables`` — pass a copy
         committed to ``big``'s device when fanning one plan's ROI sweep
         over several local chips (jit then compiles/executes on that
         device with no cross-device transfers in the steady state)."""
         v = self.variables if variables is None else variables
+        if self.two_phase:
+            return self._forward_two_phase(big, origin, v)
         if self._fwd_from_fused is not None:
             return self._fwd_from_fused(
                 v, big, jnp.asarray(origin, jnp.int32)
@@ -382,6 +461,18 @@ class DetectPipeline:
     def forward_staged(self, slabs: list) -> jax.Array:
         """Staged slabs (from :meth:`stage`) -> device-resident prob map."""
         out = jnp.zeros(self._out_shape, dtype=jnp.float32)
+        if self.two_phase:
+            v = self.variables
+            origin0 = jnp.zeros((3,), jnp.int32)
+            for (zs, local), slab in zip(self._slabs, slabs):
+                # each staged slab IS its own (tin, py, px) window
+                xa = self._slab_phase_a(
+                    v, slab, origin0, jnp.int32(0), local
+                )
+                out = self._slab_phase_b(
+                    v, xa, out, local, jnp.int32(zs)
+                )
+            return out
         for (zs, local), slab in zip(self._slabs, slabs):
             out = self._fwd_slab(
                 self.variables, slab, local, out, jnp.int32(zs)

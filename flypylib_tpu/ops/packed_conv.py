@@ -197,50 +197,63 @@ class PackedConvStack:
         return scale, shift
 
     def _forward(self, variables, x):
-        inner = self.inner
-        params = variables["params"]
-        dt = self.dtype
-        n_body = len(inner.features)
-        x = x.astype(dt)
-
-        def body_epilogue(y, i, tile):
-            """bias (+ BatchNorm) + ReLU in the compute dtype, channel
-            params tiled for the current packing factor (flax's bf16
-            dataflow: no f32 activation temps)."""
-            b = params[f"Conv_{i}"]["bias"].astype(dt)
-            b = jnp.tile(b, tile)
-            y = y + b
-            if inner.use_batchnorm:
-                scale, shift = self._affine(variables, i)
-                y = (
-                    y * jnp.tile(scale.astype(dt), tile)
-                    + jnp.tile(shift.astype(dt), tile)
-                )
-            return jax.nn.relu(y)
-
-        # stage A: leading dilation-1 layers in space-to-depth packing
-        i = 0
-        if self.n_lead:
+        if self.n_lead and self.stage_b == "group":
+            params = variables["params"]
+            dt = self.dtype
+            x = x.astype(dt)
             x = pack_volume(x)
             for i in range(self.n_lead):
                 w = params[f"Conv_{i}"]["kernel"].astype(dt)
                 x = _conv(x, pack_weight_d1(w))
-                x = body_epilogue(x, i, 8)
-            if self.stage_b == "group":
-                return self._stage_b_group(variables, x, params, dt)
-            # packed channels (parity-major) -> parity-batched lattices
-            b0, d, h, w_, c8 = x.shape
-            c = c8 // 8
-            x = x.reshape(b0, d, h, w_, 8, c)
-            x = x.transpose(0, 4, 1, 2, 3, 5).reshape(b0 * 8, d, h, w_, c)
-            # materialize the split before the first stage-B conv: letting
-            # XLA fuse the transpose into the conv's input costs ~6x on
-            # that conv (round-3 chain study — barrier'd full chain 23.4
-            # ms vs 26.4, experiments/chain_prefix.jsonl + chain_fix2)
-            x = lax.optimization_barrier(x)
-            level = 1
-        else:
-            level = 0
+                x = self._epilogue(variables, x, i, dt)
+            return self._stage_b_group(variables, x, params, dt)
+        return self.apply_stage_b(
+            variables, self.apply_stage_a(variables, x)
+        )
+
+    # --- two-phase protocol -------------------------------------------
+    # The packed forward split at the parity-split boundary.  Composing
+    # the phases in ONE jit reproduces the monolithic forward exactly
+    # (the phase boundary is where _forward's optimization_barrier sat);
+    # running them as SEPARATE dispatches removes an XLA scheduling
+    # pathology the barrier only partially fixed: the first stage-B conv
+    # costs 13.6 ms in-executable after the split vs 2.8 ms when the
+    # split output crosses a jit boundary (round-3 chain_fix3 study) —
+    # DetectPipeline uses this to run each slab as phase-A + phase-B
+    # dispatches (~1.9x on the conv chain).
+
+    def apply_stage_a(self, variables, x):
+        """Phase 1: cast + pack + stage-A packed convs + parity split.
+
+        Returns the parity-batched stage-B input (``(8B, d, h, w, c)``;
+        the plain casted tensor when the model has no dilation-1 lead).
+        Ends with an optimization_barrier so in-jit composition keeps
+        the materialized-split fix."""
+        params = variables["params"]
+        dt = self.dtype
+        x = x.astype(dt)
+        if not self.n_lead:
+            return x
+        x = pack_volume(x)
+        for i in range(self.n_lead):
+            w = params[f"Conv_{i}"]["kernel"].astype(dt)
+            x = _conv(x, pack_weight_d1(w))
+            x = self._epilogue(variables, x, i, dt)
+        # packed channels (parity-major) -> parity-batched lattices
+        b0, d, h, w_, c8 = x.shape
+        c = c8 // 8
+        x = x.reshape(b0, d, h, w_, 8, c)
+        x = x.transpose(0, 4, 1, 2, 3, 5).reshape(b0 * 8, d, h, w_, c)
+        return lax.optimization_barrier(x)
+
+    def apply_stage_b(self, variables, x):
+        """Phase 2: dilated stage-B convs (parity-batched lattices) +
+        head + logits + parity merge back to full resolution."""
+        inner = self.inner
+        params = variables["params"]
+        dt = self.dtype
+        n_body = len(inner.features)
+        level = 1 if self.n_lead else 0
 
         # stage B: dilated layers as dilation-1 convs on parity lattices
         for i in range(self.n_lead, n_body):
@@ -254,7 +267,7 @@ class PackedConvStack:
                 )
             w = params[f"Conv_{i}"]["kernel"].astype(dt)
             x = _conv(x, w)
-            x = body_epilogue(x, i, 1)
+            x = self._epilogue(variables, x, i, dt, tile=1)
 
         # head 1x1x1 conv + relu (pointwise: parity-independent)
         w = params[f"Conv_{n_body}"]["kernel"].astype(dt)

@@ -223,3 +223,66 @@ def test_stage_b_group_equals_split(rng):
         np.testing.assert_allclose(out_g, out_s, rtol=1e-5, atol=1e-6)
         plain = np.asarray(spec.module.apply(variables, x, train=False))
         np.testing.assert_allclose(out_g, plain, rtol=1e-4, atol=1e-5)
+
+
+def test_two_phase_apply_equals_forward(rng):
+    """apply_stage_b(apply_stage_a(x)) == the monolithic packed apply,
+    bitwise — the phase boundary re-associates nothing."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flypylib_tpu.models.zoo import baseline_model, vgg_like
+    from flypylib_tpu.ops.packed_conv import packed_spec
+
+    for mk in (
+        lambda: baseline_model(features=(4, 6), dilations=(1, 2),
+                               head_features=8, dtype=jnp.float32),
+        lambda: vgg_like(features=(4, 6, 8), dilations=(1, 2, 4),
+                         head_features=8, dtype=jnp.float32),
+    ):
+        spec = mk()
+        ps = packed_spec(spec, stage_b="split")
+        sz = ps.valid_size(ps.min_size + 8)
+        variables = spec.init(jax.random.PRNGKey(0), sz)
+        x = jnp.asarray(rng.random((1, sz, sz, sz, 1)), jnp.float32)
+        mono = np.asarray(ps.module.apply(variables, x, train=False))
+        xa = ps.module.apply_stage_a(variables, x)
+        two = np.asarray(ps.module.apply_stage_b(variables, xa))
+        np.testing.assert_array_equal(two, mono)
+
+
+def test_pipeline_two_phase_equals_fused(rng):
+    """DetectPipeline's two-phase slab forward == the fused forward —
+    identical prob maps and detections on both transports."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flypylib_tpu.infer.pipeline import DetectPipeline
+    from flypylib_tpu.models.zoo import baseline_model
+    from flypylib_tpu.ops.packed_conv import packed_spec
+
+    spec = baseline_model(features=(4, 6), dilations=(1, 2),
+                          head_features=8, dtype=jnp.float32)
+    ps = packed_spec(spec)
+    variables = spec.init(jax.random.PRNGKey(0), 16)
+    vol = (rng.random((36, 30, 30)) * 255).astype(np.uint8)
+    kw = dict(tile_out=12, tile_batch=2, window=5, threshold=0.6)
+    pipe2 = DetectPipeline(ps, variables, vol.shape, **kw)
+    pipe1 = DetectPipeline(ps, variables, vol.shape, two_phase=False,
+                           **kw)
+    assert pipe2.two_phase and not pipe1.two_phase
+    # staged-slab transport
+    out2 = np.asarray(pipe2.forward(vol))
+    out1 = np.asarray(pipe1.forward(vol))
+    np.testing.assert_allclose(out2, out1, rtol=1e-6, atol=1e-7)
+    # device-resident transport (forward_from, traced origin)
+    big2 = pipe2.stage_full(vol)
+    big1 = pipe1.stage_full(vol)
+    f2 = np.asarray(pipe2.forward_full(big2))
+    f1 = np.asarray(pipe1.forward_full(big1))
+    np.testing.assert_allclose(f2, f1, rtol=1e-6, atol=1e-7)
+    d2 = pipe2.postprocess(pipe2.forward(vol))
+    d1 = pipe1.postprocess(pipe1.forward(vol))
+    np.testing.assert_array_equal(d2[0].locs, d1[0].locs)
