@@ -334,6 +334,72 @@ class _StreamPlan:
         cache[C] = f
         return f
 
+    def _fused_sparse_fn(self, C: int):
+        """Fused NMS + sparse-CC postprocess for ``method="both"`` with
+        the sparse backend: ONE dispatch and ONE core compaction instead
+        of two of each.
+
+        NMS candidates (local max AND >= thr) are a subset of the CC
+        candidate set (>= thr), so compacting the CC set and gathering a
+        per-candidate "is local max" bit yields both lists.  Two further
+        exact reductions: the max filter runs on core +/- window//2 only
+        (suppression cannot reach farther into the core), and candidates
+        are compacted over the core instead of the full prob region —
+        the core slice of the candidate mask IS the host-side ownership
+        filter (out-of-volume voxels are -inf-masked and fail the
+        threshold).  Measured 66.8 ms vs 105.6 ms for the two-dispatch
+        pair at the 1k^3 sweep's 528^3 ROI shape
+        (experiments/post_profile3.py)."""
+        try:
+            return self._fused_cache[C]
+        except (AttributeError, KeyError):
+            pass
+        from flypylib_tpu.ops.components import compact_true_indices
+        from flypylib_tpu.ops.nms import mask_valid_region, max_filter
+
+        vz, vy, vx = self.pipe.vol_shape
+        h = self.h
+        cz, cy, cx = self.core_dims
+        n = cz * cy * cx
+        win = self.window
+        lo_ext = [w // 2 for w in win]
+        hi_ext = [w - 1 - w // 2 for w in win]
+
+        @jax.jit
+        def f(out, vlo, vhi, thr):
+            prob = out[:vz, :vy, :vx]
+            prob, _ = mask_valid_region(prob, vlo, vhi)
+            sub = jax.lax.slice(
+                prob,
+                (h - lo_ext[0], h - lo_ext[1], h - lo_ext[2]),
+                (h + cz + hi_ext[0], h + cy + hi_ext[1],
+                 h + cx + hi_ext[2]),
+            )
+            mf = max_filter(sub, win)
+            cand = (sub == mf) & (sub >= thr)
+            cand_core = jax.lax.slice(
+                cand, tuple(lo_ext),
+                (lo_ext[0] + cz, lo_ext[1] + cy, lo_ext[2] + cx),
+            ).reshape(-1)
+            corep = jax.lax.slice(
+                prob, (h, h, h), (h + cz, h + cy, h + cx)
+            ).reshape(-1)
+            m = corep >= thr
+            cap = min(C, n)
+            idx = compact_true_indices(m, cap)
+            v = idx < n
+            safe = jnp.minimum(idx, n - 1)
+            probs = jnp.where(v, corep[safe], -jnp.inf)
+            is_max = jnp.where(v, cand_core[safe], False)
+            over = jnp.sum(m, dtype=jnp.int32) > cap
+            return idx, probs, is_max, over
+
+        cache = getattr(self, "_fused_cache", None)
+        if cache is None:
+            cache = self._fused_cache = {}
+        cache[C] = f
+        return f
+
     def _dense_faces(self, faces):
         """Rebuild dense face label planes from the sparse export (host
         side; merge_component_fragments consumes dense planes)."""
@@ -387,6 +453,20 @@ class _StreamPlan:
             "key": key, "corner": corner, "lo_want": lo_want,
             "vlo": vlo, "vhi": vhi, "out": out,
         }
+        fused = (
+            self.want_nms and self.want_cc and self.cc_impl == "sparse"
+            and getattr(self, "fuse_sparse", True)  # A/B escape hatch
+        )
+        if fused:
+            res = self._fused_sparse_fn(self.C)(
+                out, jnp.asarray(vlo, jnp.int32),
+                jnp.asarray(vhi, jnp.int32), jnp.float32(self.threshold),
+            )
+            for leaf in jax.tree.leaves(res):
+                leaf.copy_to_host_async()
+            rec["fused"] = res
+            rec["cc_C"] = self.C
+            return rec
         if self.want_nms:
             rec["nms"] = self.pipe.postprocess_start(out, vlo, vhi)
         if self.want_cc:
@@ -414,6 +494,43 @@ class _StreamPlan:
         provider = lambda: out  # noqa: E731
         core_dims, shape, ctx = self.core_dims, self.shape, self.ctx
         n_own = 0
+        if "fused" in rec:
+            C, res = rec["cc_C"], rec["fused"]
+            while True:
+                idx, probs, is_max, over = jax.device_get(res)
+                if not bool(over):
+                    break
+                C *= 4
+                self.C = max(self.C, C)  # later ROIs reuse the size
+                res = self._fused_sparse_fn(C)(
+                    provider(), jnp.asarray(vlo, jnp.int32),
+                    jnp.asarray(vhi, jnp.int32),
+                    jnp.float32(self.threshold),
+                )
+            cz, cy, cx = core_dims
+            n = cz * cy * cx
+            idx = np.asarray(idx, np.int64)
+            v = idx < n
+            idx = idx[v]
+            probs = np.asarray(probs)[v]
+            is_max = np.asarray(is_max)[v]
+            # local core flat index -> global (z, y, x)
+            gz = idx // (cy * cx) + corner[0]
+            rem = idx % (cy * cx)
+            gy = rem // cx + corner[1]
+            gx = rem % cx + corner[2]
+            glob = np.stack([gz, gy, gx], axis=1).astype(np.float64)
+            self._all_locs.append(glob[is_max])
+            self._all_conf.append(probs[is_max])
+            n_own = int(is_max.sum())
+            vz_g, vy_g, vx_g = self.shape
+            self._cc_rois[key] = {
+                "gflat": (gz * vy_g + gy) * vx_g + gx,
+                "prob": probs,
+            }
+            if progress:
+                progress(corner, n_own)
+            return
         if self.want_nms:
             # grow-and-retry via ``provider`` on saturation, so the
             # per-ROI list is always complete

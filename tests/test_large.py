@@ -137,6 +137,34 @@ def test_streaming_both_methods(model, rng, cc_impl):
     )
 
 
+def test_streaming_both_fused_overflow_grows(model, rng):
+    """method="both" + sparse runs the FUSED single-dispatch postprocess
+    (one core compaction yields both lists); its candidate budget must
+    self-heal like the separate paths', keeping BOTH the NMS and the CC
+    list complete."""
+    from flypylib_tpu.infer.large import make_stream_plan
+
+    spec, variables = model
+    vol = rng.random((40, 33, 37)).astype(np.float32)
+    prob = reference_prob(spec, variables, vol)
+    thr = float(np.quantile(prob, 0.9))  # many candidates
+    shape, read = array_reader(vol)
+    plan = make_stream_plan(
+        spec, variables, shape, core=20, tile_out=20, window=3,
+        threshold=thr, method="both", cc_impl="sparse",
+    )
+    plan.C = 16  # force per-ROI candidate overflow in the fused post
+    nms_det, cc_det = detect_streaming(
+        spec, variables, shape, read, core=20, tile_out=20, window=3,
+        threshold=thr, method="both", plan=plan,
+    )
+    assert plan.C > 16  # grew
+    assert_same_detections(nms_host(prob, window=3, threshold=thr), nms_det)
+    assert_same_detections(
+        components_host(prob, threshold=thr), cc_det, loc_tol=1e-3
+    )
+
+
 def test_detect_h5_roundtrip(model, rng, tmp_path):
     spec, variables = model
     vol = rng.random((48, 48, 48)).astype(np.float32)
