@@ -148,11 +148,61 @@ def main():
 
     rec("3-level compact", timed(jax.jit(p_three), (prob, thr_j)))
 
-    # exactness: 3-level == current
+    # -- candidate: no-icum — gather RAW mask rows, cumsum only those ----
+    def p_noicum(p, t):
+        blk = p.reshape(R, M) >= t  # bool, never cumsum'd in full
+        bsum = jnp.sum(blk, axis=1, dtype=jnp.int32)  # (R,)
+        boff = jnp.cumsum(bsum)
+        q = jnp.arange(1, SIZE + 1, dtype=jnp.int32)
+        blkid = jnp.searchsorted(boff, q).astype(jnp.int32)
+        inb = blkid < R
+        safe_blk = jnp.minimum(blkid, R - 1)
+        base = jnp.where(safe_blk > 0, boff[safe_blk - 1], 0)
+        rows = blk[safe_blk].astype(jnp.int32)  # (SIZE, M) row gather
+        rcum = jnp.cumsum(rows, axis=1)
+        qq = (q - base)[:, None]
+        pos_in = jnp.sum(rcum < qq, axis=1, dtype=jnp.int32)
+        idx = safe_blk * M + pos_in
+        return jnp.where(inb & (idx < N), idx, N).astype(jnp.int32)
+
+    rec("no-icum compact", timed(jax.jit(p_noicum), (prob, thr_j)))
+
+    # -- no-icum + superblock search -------------------------------------
+    def p_noicum3(p, t):
+        blk = p.reshape(R, M) >= t
+        bsum = jnp.sum(blk, axis=1, dtype=jnp.int32)  # (R,)
+        scum = jnp.cumsum(bsum.reshape(R2, S), axis=1)  # (R2, S)
+        soff = jnp.cumsum(scum[:, -1])  # (R2,)
+        q = jnp.arange(1, SIZE + 1, dtype=jnp.int32)
+        sid = jnp.searchsorted(soff, q).astype(jnp.int32)  # 16k entries
+        inb = sid < R2
+        safe_s = jnp.minimum(sid, R2 - 1)
+        sbase = jnp.where(safe_s > 0, soff[safe_s - 1], 0)
+        srows = scum[safe_s]  # (SIZE, S) contiguous row gather
+        qs = (q - sbase)[:, None]
+        bpos = jnp.sum(srows < qs, axis=1, dtype=jnp.int32)
+        blkid = safe_s * S + bpos
+        safe_blk = jnp.minimum(blkid, R - 1)
+        bbase = sbase + jnp.where(
+            bpos > 0, srows[jnp.arange(SIZE), jnp.maximum(bpos - 1, 0)], 0
+        )
+        rows = blk[safe_blk].astype(jnp.int32)
+        rcum = jnp.cumsum(rows, axis=1)
+        qq = (q - bbase)[:, None]
+        pos_in = jnp.sum(rcum < qq, axis=1, dtype=jnp.int32)
+        idx = safe_blk * M + pos_in
+        return jnp.where(inb & (idx < N), idx, N).astype(jnp.int32)
+
+    rec("no-icum + superblock search", timed(jax.jit(p_noicum3),
+                                             (prob, thr_j)))
+
+    # exactness: all variants == current
     a = np.asarray(jax.jit(p_full)(prob, thr_j))
-    b = np.asarray(jax.jit(p_three)(prob, thr_j))
-    np.testing.assert_array_equal(a, b)
-    print("3-level == current: OK", flush=True)
+    for name, f in (("3-level", p_three), ("no-icum", p_noicum),
+                    ("no-icum3", p_noicum3)):
+        b = np.asarray(jax.jit(f)(prob, thr_j))
+        np.testing.assert_array_equal(a, b, err_msg=name)
+    print("all variants == current: OK", flush=True)
 
     with open("experiments/compact_profile.jsonl", "w") as fh:
         for row in rows:

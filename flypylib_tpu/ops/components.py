@@ -43,14 +43,21 @@ def compact_true_indices(mask_flat: jax.Array, size: int) -> jax.Array:
     random scalar gathers into the full-volume array — measured 387 ms
     at 512^3 with 524k queries; experiments/cc_profile.jsonl).
 
-    Two-level scheme, gathers kept small or contiguous:
+    Three-level scheme; the full volume is touched by exactly ONE
+    reduction pass, and every per-query step works on small or
+    contiguous data (experiments/compact_profile.jsonl, 512^3 with 64k
+    queries: 20 ms vs 49 ms for the previous two-level version, whose
+    cost was materializing the full (R, 128) within-block cumsum —
+    537 MB written and row-gathered):
 
-    - reshape to (R, 128) blocks; per-block candidate counts (one pass)
-      and a block-offset cumsum over R elements;
-    - find each query's block by binary search in the SMALL offset array;
-    - gather each query's 512-byte intra-block cumsum row (contiguous
-      row gather — DMA-friendly, unlike scalar gathers) and resolve the
-      in-block position with a vectorized compare-count.
+    - reshape to (R, 128) blocks; ONE pass computes per-block counts
+      (the bool blocks themselves are never cumsum'd in full);
+    - group blocks into superblocks of 128; cumulative counts within
+      each superblock (R/128 x 128) and a tiny superblock-offset array;
+    - per query: binary-search the SMALL superblock offsets, row-gather
+      the superblock's cumulative counts (512 B, contiguous) to pick the
+      block by compare-count, then row-gather the block's RAW mask row
+      (128 B) and resolve the in-block position from its local cumsum.
 
     The j-th candidate's flat index is the first position where the
     running count reaches j; queries past the total count return ``n``.
@@ -68,17 +75,39 @@ def compact_true_indices(mask_flat: jax.Array, size: int) -> jax.Array:
             [mask_flat, jnp.zeros((pad,), mask_flat.dtype)]
         )
     R = (n + pad) // M
-    blk = mask_flat.reshape(R, M).astype(jnp.int32)
-    icum = jnp.cumsum(blk, axis=1)  # (R, M) running count within block
-    boff = jnp.cumsum(icum[:, -1])  # (R,) inclusive block offsets
+    blk = mask_flat.reshape(R, M)  # bool; only selected rows get cumsum'd
+    bsum = jnp.sum(blk, axis=1, dtype=jnp.int32)  # (R,) — the one pass
+    S = 128
+    pad2 = (-R) % S
+    if pad2:
+        bsum = jnp.concatenate([bsum, jnp.zeros((pad2,), jnp.int32)])
+    R2 = (R + pad2) // S
+    scum = jnp.cumsum(bsum.reshape(R2, S), axis=1)  # (R2, S)
+    soff = jnp.cumsum(scum[:, -1])  # (R2,) superblock offsets — tiny
     q = jnp.arange(1, size + 1, dtype=jnp.int32)
-    blkid = jnp.searchsorted(boff, q).astype(jnp.int32)  # small array
-    inb = blkid < R
+    sid = jnp.searchsorted(soff, q).astype(jnp.int32)
+    inb = sid < R2
+    safe_s = jnp.minimum(sid, R2 - 1)
+    sbase = jnp.where(safe_s > 0, soff[safe_s - 1], 0)
+    srows = scum[safe_s]  # (size, S) contiguous row gather
+    qs = (q - sbase)[:, None]
+    # first block whose cumulative count reaches the query; padded/empty
+    # blocks share their predecessor's cumulative value, so the compare
+    # count lands on the earliest (real) block
+    bpos = jnp.sum(srows < qs, axis=1, dtype=jnp.int32)
+    blkid = safe_s * S + bpos
     safe_blk = jnp.minimum(blkid, R - 1)
-    base = jnp.where(safe_blk > 0, boff[safe_blk - 1], 0)
-    rows = icum[safe_blk]  # (size, M) contiguous row gather
-    qq = (q - base)[:, None]
-    pos_in = jnp.sum(rows < qq, axis=1, dtype=jnp.int32)
+    bbase = sbase + jnp.where(
+        bpos > 0,
+        jnp.take_along_axis(
+            srows, jnp.maximum(bpos - 1, 0)[:, None], axis=1
+        )[:, 0],
+        0,
+    )
+    rows = blk[safe_blk].astype(jnp.int32)  # (size, M) raw-row gather
+    rcum = jnp.cumsum(rows, axis=1)
+    qq = (q - bbase)[:, None]
+    pos_in = jnp.sum(rcum < qq, axis=1, dtype=jnp.int32)
     idx = safe_blk * M + pos_in
     return jnp.where(inb & (idx < n), idx, n).astype(jnp.int32)
 

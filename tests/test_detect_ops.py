@@ -172,7 +172,7 @@ def test_components_candidate_overflow_retries(rng):
 
 
 def test_compact_true_indices_matches_nonzero(rng):
-    """The two-level compaction == jnp.nonzero(size=, fill_value=n) for
+    """The three-level compaction == jnp.nonzero(size=, fill_value=n) for
     every size/pattern class (empty, dense, sparse, block-boundary,
     larger-than-count, non-multiple-of-block lengths)."""
     import jax.numpy as jnp
