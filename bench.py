@@ -178,6 +178,12 @@ def bench_staged_1k(size: int = 1024, core: int = 512):
     plan = make_stream_plan(pspec, variables, vol.shape, core=core,
                             **common)
 
+    # pre-compile the device-side staging pad (no wire traffic) so t_up
+    # times the upload, not the one-off XLA compile
+    from flypylib_tpu.infer.large import warm_staging_pad
+
+    warm_staging_pad(vol.shape, vol.dtype, plan.fetch_halo)
+
     t0 = time.perf_counter()
     staged = stage_volume(vol, plan=plan)
     # block_until_ready doesn't truly block through the tunnel: force a

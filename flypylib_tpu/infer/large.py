@@ -49,6 +49,8 @@ from __future__ import annotations
 
 
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -968,12 +970,40 @@ def _detect_staged_multi(plan, big, off, devices, progress):
         plan.pipeline_window = window_save
 
 
+@functools.lru_cache(maxsize=8)
+def _staging_pad(h: int):
+    """Jitted 3-D reflect pad by ``h`` per face (device-side halo build).
+
+    ``jnp.pad(mode="reflect")`` is pure index copies — bitwise identical
+    to ``np.pad`` — so building the halo on device instead of uploading
+    it saves the halo's wire bytes (~8% at 1k^3 with h=14) through the
+    ~38 MB/s host link at zero semantic risk."""
+
+    @jax.jit
+    def pad(v):
+        return jnp.pad(v, [(h, h)] * 3, mode="reflect")
+
+    return pad
+
+
+def warm_staging_pad(shape, dtype, halo: int):
+    """Pre-compile :func:`stage_volume`'s device pad for ``shape`` without
+    a wire transfer (the warm input is created on device), so a timed
+    first upload isn't charged the one-off XLA compile."""
+    _staging_pad(halo)(jnp.zeros(to3d(shape), dtype)).block_until_ready()
+
+
 def stage_volume(volume: np.ndarray, plan=None, halo: int | None = None):
     """Upload a whole volume to HBM with its streaming reflect halo.
 
     Returns ``(big, halo)`` for :func:`detect_staged`'s ``staged=`` — the
     one wire transfer, reusable across detection calls.  ``halo`` must be
-    >= the plan's ``fetch_halo`` (``context + window//2 + context``)."""
+    >= the plan's ``fetch_halo`` (``context + window//2 + context``).
+
+    Only the RAW volume crosses the wire; the reflect halo is built on
+    device (:func:`_staging_pad` — bitwise identical to the previous
+    host-side ``np.pad``).  Volumes too small to reflect (any extent
+    <= ``halo``) fall back to host-side padding."""
     if plan is None and halo is None:
         raise ValueError(
             "stage_volume needs a plan (from make_stream_plan) or an "
@@ -983,6 +1013,8 @@ def stage_volume(volume: np.ndarray, plan=None, halo: int | None = None):
     vol = np.asarray(volume)
     if vol.dtype not in (np.uint8, np.float32):
         vol = vol.astype(np.float32)
+    if min(vol.shape) > h:
+        return _staging_pad(h)(jax.device_put(vol)), h
     pad = [(h, h)] * 3
     return jax.device_put(np.pad(vol, pad, mode="reflect")), h
 

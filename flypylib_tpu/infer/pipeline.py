@@ -35,6 +35,18 @@ from flypylib_tpu.ops.nms import candidate_mask
 from flypylib_tpu.utils import ceil_div, to3d
 
 
+class _StagedRaw:
+    """Disjoint raw z-chunks staged in HBM (see :meth:`DetectPipeline.stage`).
+
+    The reflect halo, inter-slab overlap, and grid extension are built on
+    device per slab, so only the volume's own bytes cross the wire."""
+
+    __slots__ = ("chunks",)
+
+    def __init__(self, chunks):
+        self.chunks = chunks
+
+
 def _extract_candidates(prob, mask, max_detections):
     """First-k candidates in flat-index order via cumsum compaction —
     ~2.5x cheaper than a full-volume lax.top_k at 256^3 (the caller
@@ -244,6 +256,69 @@ class DetectPipeline:
         self._make_post = make_post
         self._posts: dict = {}
 
+        # raw-chunk staging plan (wire-minimal stage()): upload the
+        # UNPADDED volume as disjoint z-chunks and build each slab's
+        # reflect halo / overlap / grid extension on device.  At 256^3
+        # t64b16 the padded-slab upload moves ~23% more bytes than the
+        # volume itself (xy halo + 12-plane inter-slab overlap) through
+        # a ~38 MB/s link; the assembled slabs are bitwise identical to
+        # prepare()'s (jnp.pad reflect == np.pad reflect — index
+        # copies), pinned by tests/test_pipeline.py.  Chunk k feeds
+        # slabs k-1 and k only, so uploads still overlap compute.
+        self._raw_plan = None
+        c = self._tiled.ctx
+        z_starts = [zs for zs, _ in self._slabs]
+        eligible = (
+            not pre_padded
+            and pad_mode == "reflect"
+            and min(self.vol_shape) > c
+            and (len(z_starts) == 1 or z_starts[1] > c)
+            and all(
+                z_starts[k] + tin <= z_starts[k + 2]
+                for k in range(len(z_starts) - 2)
+            )
+            and (len(z_starts) == 1 or z_starts[-1] - c < vz)
+        )
+        if eligible:
+            bounds = [0] + [zs - c for zs in z_starts[1:]] + [vz]
+            slabs_meta = []
+            for k, zs in enumerate(z_starts):
+                ra = bounds[k]
+                rb = min(vz, zs + tin - c)
+                fr = c - zs if zs < c else 0
+                br = min(max(0, zs + tin - c - vz), c)
+                zr = tin - fr - (rb - ra) - br
+                take = max(0, rb - bounds[k + 1]) if k + 1 < len(
+                    bounds
+                ) - 1 else 0
+                if zr < 0 or (take and take > bounds[k + 2] - bounds[k + 1]):
+                    slabs_meta = None
+                    break
+                slabs_meta.append((take, fr, br, zr))
+            if slabs_meta is not None:
+                ey = self._out_shape[1] - vy
+                ex = self._out_shape[2] - vx
+
+                @functools.partial(
+                    jax.jit, static_argnames=("take", "fr", "br", "zr")
+                )
+                def assemble(a, b, take, fr, br, zr):
+                    raw = (
+                        jnp.concatenate([a, b[:take]], axis=0)
+                        if take
+                        else a
+                    )
+                    s = jnp.pad(
+                        raw, [(fr, br), (c, c), (c, c)], mode="reflect"
+                    )
+                    return jnp.pad(s, [(0, zr), (0, ey), (0, ex)])
+
+                self._raw_plan = {
+                    "bounds": bounds,
+                    "slabs": slabs_meta,
+                    "assemble": assemble,
+                }
+
         # two-phase slab forward: phase A (pack + stage-A convs + parity
         # split) and phase B (stage-B convs + head + logits + stitch) as
         # SEPARATE dispatches.  Inside one executable XLA schedules the
@@ -404,16 +479,57 @@ class DetectPipeline:
             self._posts[key] = self._make_post(k_det, k_comp)
         return self._posts[key]
 
-    def stage(self, volume: np.ndarray) -> list:
-        """Host-pad and upload the volume's z-slabs to HBM (queued
-        back-to-back on the wire).  The return value can be passed to
+    def stage(self, volume: np.ndarray):
+        """Upload the volume to HBM for :meth:`forward_staged` (queued
+        back-to-back on the wire, so transfers overlap the previous
+        slab's compute).  The return value can be passed to
         :meth:`forward_staged` any number of times — the device-resident
-        operating mode (chip-bound throughput, wire excluded)."""
+        operating mode (chip-bound throughput, wire excluded).
+
+        On the default path only the volume's RAW bytes cross the wire
+        as disjoint z-chunks; each slab's reflect halo, inter-slab
+        overlap, and grid extension are assembled on device (bitwise
+        identical to :meth:`prepare` — see ``_raw_plan`` in
+        ``__init__``).  Pipelines the plan can't cover (``pre_padded``,
+        non-reflect ``pad_mode``, volumes smaller than the context) fall
+        back to host-padded slab uploads."""
+        if self._raw_plan is not None:
+            vol = np.asarray(volume)
+            if vol.dtype not in (np.uint8, np.float32):
+                vol = vol.astype(np.float32)
+            if vol.shape != self.vol_shape:
+                raise ValueError(
+                    f"volume must have shape {self.vol_shape}, got "
+                    f"{vol.shape}"
+                )
+            b = self._raw_plan["bounds"]
+            return _StagedRaw([
+                jax.device_put(np.ascontiguousarray(vol[b[i] : b[i + 1]]))
+                for i in range(len(b) - 1)
+            ])
         padded = self.prepare(volume)
         tin = self._tin
         return [
             jax.device_put(padded[zs : zs + tin]) for zs, _ in self._slabs
         ]
+
+    def _staged_slabs(self, staged):
+        """Yield the (tin, py, px) padded slab windows of a :meth:`stage`
+        result — device-assembled for raw-chunk staging, as-is for the
+        legacy padded-slab list."""
+        if isinstance(staged, _StagedRaw):
+            asm = self._raw_plan["assemble"]
+            chunks = staged.chunks
+            for k, (take, fr, br, zr) in enumerate(
+                self._raw_plan["slabs"]
+            ):
+                # dummy second operand when the slab fits one chunk (the
+                # static take=0 branch never reads it; passing chunks[k]
+                # keeps the jit cache keyed on one extra shape at most)
+                b = chunks[k + 1] if take else chunks[k]
+                yield asm(chunks[k], b, take=take, fr=fr, br=br, zr=zr)
+        else:
+            yield from staged
 
     @property
     def padded_shape(self) -> tuple:
@@ -458,13 +574,16 @@ class DetectPipeline:
             )
         return out
 
-    def forward_staged(self, slabs: list) -> jax.Array:
-        """Staged slabs (from :meth:`stage`) -> device-resident prob map."""
+    def forward_staged(self, staged) -> jax.Array:
+        """Staged volume (from :meth:`stage`) -> device-resident prob
+        map."""
         out = jnp.zeros(self._out_shape, dtype=jnp.float32)
         if self.two_phase:
             v = self.variables
             origin0 = jnp.zeros((3,), jnp.int32)
-            for (zs, local), slab in zip(self._slabs, slabs):
+            for (zs, local), slab in zip(
+                self._slabs, self._staged_slabs(staged)
+            ):
                 # each staged slab IS its own (tin, py, px) window
                 xa = self._slab_phase_a(
                     v, slab, origin0, jnp.int32(0), local
@@ -473,7 +592,9 @@ class DetectPipeline:
                     v, xa, out, local, jnp.int32(zs)
                 )
             return out
-        for (zs, local), slab in zip(self._slabs, slabs):
+        for (zs, local), slab in zip(
+            self._slabs, self._staged_slabs(staged)
+        ):
             out = self._fwd_slab(
                 self.variables, slab, local, out, jnp.int32(zs)
             )

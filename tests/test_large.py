@@ -332,6 +332,28 @@ def test_stage_volume_requires_plan_or_halo(rng):
         stage_volume(rng.random((8, 8, 8)).astype(np.float32))
 
 
+def test_stage_volume_device_pad_bitwise(rng):
+    """stage_volume uploads the raw volume and reflect-pads on device —
+    bitwise np.pad(mode="reflect"), for uint8 and f32, including the
+    host fallback when an extent is too small to reflect."""
+    from flypylib_tpu.infer.large import stage_volume
+
+    for dtype in (np.uint8, np.float32):
+        vol = rng.random((20, 17, 23)).astype(np.float32)
+        if dtype == np.uint8:
+            vol = (vol * 255).astype(np.uint8)
+        big, h = stage_volume(vol, halo=7)
+        assert h == 7
+        np.testing.assert_array_equal(
+            np.asarray(big), np.pad(vol, [(7, 7)] * 3, mode="reflect")
+        )
+    tiny = rng.random((5, 12, 12)).astype(np.float32)
+    big, h = stage_volume(tiny, halo=7)  # 5 <= 7: host np.pad fallback
+    np.testing.assert_array_equal(
+        np.asarray(big), np.pad(tiny, [(7, 7)] * 3, mode="reflect")
+    )
+
+
 def test_staged_multi_device_bit_identical(model, rng):
     """detect_staged(devices=...) fans the ROI sweep over local devices
     with bit-identical detections (disjoint cores, order-exact merge)."""

@@ -121,3 +121,64 @@ def test_forward_full_equals_forward_staged(model, rng):
     a = np.asarray(pipe.forward_staged(pipe.stage(vol)))
     b = np.asarray(pipe.forward_full(pipe.stage_full(vol)))
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize(
+    "shape,tile_out,tile_batch",
+    [
+        ((24, 20, 18), 12, 2),   # grid extension on y/x
+        ((16, 16, 16), 24, 1),   # single slab, tile overshoot
+        ((40, 14, 14), 10, 4),   # many slabs, thin xy
+    ],
+)
+def test_raw_chunk_staging_bitwise(model, rng, shape, tile_out, tile_batch):
+    """stage() uploads raw z-chunks and builds reflect halo / overlap /
+    grid extension on device; every assembled slab must be bitwise
+    prepare()'s corresponding window, for uint8 and f32 volumes."""
+    from flypylib_tpu.infer.pipeline import _StagedRaw
+
+    spec, variables = model
+    for dtype in (np.float32, np.uint8):
+        vol = rng.random(shape).astype(np.float32)
+        if dtype == np.uint8:
+            vol = (vol * 255).astype(np.uint8)
+        pipe = DetectPipeline(spec, variables, shape, tile_out=tile_out,
+                              tile_batch=tile_batch, window=3,
+                              threshold=0.5)
+        staged = pipe.stage(vol)
+        assert isinstance(staged, _StagedRaw)
+        # raw chunks partition the volume exactly (no wire redundancy)
+        total = sum(ch.shape[0] for ch in staged.chunks)
+        assert total == shape[0]
+        assert all(ch.shape[1:] == shape[1:] for ch in staged.chunks)
+        padded = pipe.prepare(vol)
+        for (zs, _), slab in zip(pipe._slabs, pipe._staged_slabs(staged)):
+            np.testing.assert_array_equal(
+                np.asarray(slab), padded[zs : zs + pipe._tin]
+            )
+
+
+def test_raw_chunk_staging_fallbacks(model, rng):
+    """pre_padded pipelines and volumes smaller than the context fall
+    back to host-padded slab uploads (and still match stage_full)."""
+    spec, variables = model
+    c = spec.context
+    vol = rng.random((12, 12, 12)).astype(np.float32)
+    pre = np.pad(vol, c, mode="reflect")
+    pipe = DetectPipeline(spec, variables, vol.shape, tile_out=12,
+                          window=3, threshold=0.5, pre_padded=True)
+    assert pipe._raw_plan is None
+    staged = pipe.stage(pre)
+    assert isinstance(staged, list)
+    a = np.asarray(pipe.forward_staged(staged))
+    b = np.asarray(pipe.forward_full(pipe.stage_full(pre)))
+    np.testing.assert_array_equal(a, b)
+
+    tiny = rng.random((c, c + 2, c + 2)).astype(np.float32)
+    pipe2 = DetectPipeline(spec, variables, tiny.shape, tile_out=8,
+                           window=3, threshold=0.5)
+    assert pipe2._raw_plan is None  # reflect needs every extent > context
+    np.testing.assert_array_equal(
+        np.asarray(pipe2.forward_staged(pipe2.stage(tiny))),
+        np.asarray(pipe2.forward_full(pipe2.stage_full(tiny))),
+    )
