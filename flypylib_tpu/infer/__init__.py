@@ -16,6 +16,7 @@ from flypylib_tpu.infer.large import (
     array_reader,
     make_stream_plan,
     stage_volume,
+    stage_volume_chunked,
 )
 
 __all__ = [
@@ -35,4 +36,5 @@ __all__ = [
     "array_reader",
     "make_stream_plan",
     "stage_volume",
+    "stage_volume_chunked",
 ]

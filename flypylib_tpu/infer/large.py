@@ -894,6 +894,17 @@ def detect_staged(
                            threshold, cc_impl, core, tile_out, tile_batch)
     if staged is None:
         staged = stage_volume(volume, plan=plan)
+    if isinstance(staged, _StagedChunks):
+        if staged.halo < plan.fetch_halo:
+            raise ValueError(
+                f"staged halo {staged.halo} < required {plan.fetch_halo} "
+                "(stage_volume_chunked with the same window/method)"
+            )
+        if devices is not None and len(devices) > 1:
+            # multi-device fan-out replicates the monolithic volume
+            staged = staged.assemble_full()
+        else:
+            return _detect_staged_chunked(plan, staged, progress)
     big, fetch_halo = staged
     if fetch_halo < plan.fetch_halo:
         raise ValueError(
@@ -925,6 +936,31 @@ def detect_staged(
             origin = tuple(c + off for c in corner)
             yield (
                 key, corner, plan.pipe.forward_from(big, origin),
+                lo_want, vlo, vhi,
+            )
+
+    return plan.consume(outs(), progress)
+
+
+def _detect_staged_chunked(plan, staged: "_StagedChunks", progress):
+    """ROI sweep over chunk-staged volume: each ROI's padded window is
+    assembled on device from the chunks it covers (~0.2 ms of HBM
+    copies), then fed to the SAME compiled per-ROI forward with origin
+    (0, 0, 0) — results are bitwise the monolithic staged sweep's
+    (tests/test_large.py).  Because a window's assembly depends only on
+    its own chunks, early ROI z-rows compute while later chunks are
+    still crossing the wire — upload/compute overlap the monolithic
+    form cannot have."""
+    off = staged.halo - plan.fetch_halo
+    P = plan.pipe.padded_shape
+
+    def outs():
+        for key, corner in plan.grid:
+            lo_want, vlo, vhi = plan.region(corner)
+            start = tuple(c + off for c in corner)
+            window = staged.window(start, P)
+            yield (
+                key, corner, plan.pipe.forward_from(window, (0, 0, 0)),
                 lo_want, vlo, vhi,
             )
 
@@ -991,6 +1027,127 @@ def warm_staging_pad(shape, dtype, halo: int):
     a wire transfer (the warm input is created on device), so a timed
     first upload isn't charged the one-off XLA compile."""
     _staging_pad(halo)(jnp.zeros(to3d(shape), dtype)).block_until_ready()
+
+
+class _StagedChunks:
+    """Disjoint raw z-chunks of a volume staged in HBM (see
+    :func:`stage_volume_chunked`).  Each ROI window is assembled on
+    device from the chunks it covers, so (a) only the volume's raw bytes
+    cross the wire and (b) an ROI's forward can dispatch as soon as ITS
+    chunks have arrived — the upload overlaps the sweep."""
+
+    __slots__ = ("chunks", "halo", "bounds")
+
+    # window-assembly executables keyed by the full static signature
+    # (geometry + chunk shapes + dtype) — shared across instances so a
+    # re-upload of the same volume shape compiles nothing
+    _asm_cache: dict = {}
+
+    def __init__(self, chunks, halo, bounds):
+        self.chunks = chunks
+        self.halo = halo
+        self.bounds = bounds
+
+    def window(self, start, size):
+        """Device-assemble ``B[start : start + size]`` where ``B`` is the
+        reflect-by-``halo`` padded volume extended with zeros on the high
+        side — bitwise what :func:`stage_volume`'s monolithic ``big``
+        (plus :func:`detect_staged`'s zero extension) holds there.
+
+        Per axis: a front-reflect run (only windows at face 0), the raw
+        span, a back-reflect run (<= halo), then zeros; y/x are plain
+        slices of the full-xy chunks, z gathers only the covering chunks
+        (so the assembly dispatch waits for THOSE transfers, not all)."""
+        H = self.halo
+        shape = (self.bounds[-1],) + tuple(self.chunks[0].shape[1:3])
+        fr, ra, rb, br, zr = [], [], [], [], []
+        for c, P, S in zip(start, size, shape):
+            f = max(0, H - c)
+            a = max(0, c - H)
+            b = min(S, c + P - H)
+            r = min(max(0, c + P - H - S), H)
+            fr.append(f)
+            ra.append(a)
+            rb.append(b)
+            br.append(r)
+            zr.append(P - f - (b - a) - r)
+        bounds = self.bounds
+        i0 = next(i for i in range(len(bounds) - 1)
+                  if bounds[i + 1] > ra[0])
+        i1 = next(i for i in range(len(bounds) - 1)
+                  if bounds[i + 1] >= rb[0]) + 1
+        lo0 = ra[0] - bounds[i0]
+        hi1 = rb[0] - bounds[i1 - 1]
+        n_z = rb[0] - ra[0]
+        key = (tuple(fr), tuple(ra), tuple(rb), tuple(br), tuple(zr),
+               tuple(c.shape for c in self.chunks[i0:i1]),
+               str(self.chunks[0].dtype), lo0, hi1)
+        fn = self._asm_cache.get(key)
+        if fn is None:
+            pads_r = [(fr[d], br[d]) for d in range(3)]
+            pads_z = [(0, zr[d]) for d in range(3)]
+
+            @jax.jit
+            def fn(*cs):
+                if len(cs) == 1:
+                    raw = cs[0][lo0 : lo0 + n_z]
+                else:
+                    parts = (
+                        [cs[0][lo0:]] + list(cs[1:-1]) + [cs[-1][:hi1]]
+                    )
+                    raw = jnp.concatenate(parts, axis=0)
+                raw = raw[:, ra[1] : rb[1], ra[2] : rb[2]]
+                return jnp.pad(
+                    jnp.pad(raw, pads_r, mode="reflect"), pads_z
+                )
+
+            self._asm_cache[key] = fn
+        return fn(*self.chunks[i0:i1])
+
+    def assemble_full(self):
+        """Monolithic ``(big, halo)`` from the chunks (device concat +
+        pad) — compatibility bridge for paths that need the whole padded
+        volume (e.g. the multi-device fan-out)."""
+        raw = (
+            jnp.concatenate(self.chunks, axis=0)
+            if len(self.chunks) > 1
+            else self.chunks[0]
+        )
+        return _staging_pad(self.halo)(raw), self.halo
+
+
+def stage_volume_chunked(volume: np.ndarray, plan=None,
+                         halo: int | None = None, chunk: int = 128):
+    """Upload a volume as disjoint raw z-chunks for :func:`detect_staged`.
+
+    Wire-minimal AND overlap-friendly: only the raw bytes are
+    transferred (the reflect halo is built per ROI window on device,
+    bitwise :func:`stage_volume`'s), and since an ROI window depends
+    only on the chunks it covers, early ROI rows start computing while
+    later chunks are still uploading — the staging transfer rides under
+    the sweep instead of strictly preceding it.  Falls back to
+    :func:`stage_volume`'s monolithic form when the volume is too small
+    to reflect on device."""
+    if plan is None and halo is None:
+        raise ValueError(
+            "stage_volume_chunked needs a plan (from make_stream_plan) "
+            "or an explicit halo to size the reflect border"
+        )
+    h = plan.fetch_halo if halo is None else halo
+    vol = np.asarray(volume)
+    if vol.dtype not in (np.uint8, np.float32):
+        vol = vol.astype(np.float32)
+    if min(vol.shape) <= h:
+        return stage_volume(vol, halo=h)
+    vz = vol.shape[0]
+    bounds = list(range(0, vz, max(1, chunk))) + [vz]
+    if bounds[-2] == vz:
+        bounds.pop(-2)
+    chunks = [
+        jax.device_put(np.ascontiguousarray(vol[b0:b1]))
+        for b0, b1 in zip(bounds, bounds[1:])
+    ]
+    return _StagedChunks(chunks, h, bounds)
 
 
 def stage_volume(volume: np.ndarray, plan=None, halo: int | None = None):

@@ -354,6 +354,77 @@ def test_stage_volume_device_pad_bitwise(rng):
     )
 
 
+@pytest.mark.parametrize("chunk", [8, 64])
+def test_staged_chunked_bit_identical(model, rng, chunk):
+    """detect_staged over chunk-staged volumes (raw z-chunks, windows
+    assembled on device) == the monolithic staged sweep, bit-identical —
+    including anisotropic cores, uint8, and chunk sizes that do or don't
+    divide the volume."""
+    from flypylib_tpu.infer.large import (
+        detect_staged,
+        make_stream_plan,
+        stage_volume,
+        stage_volume_chunked,
+    )
+
+    spec, variables = model
+    for shape, core, dtype in [
+        ((40, 33, 37), 16, np.float32),
+        ((30, 20, 20), (12, 20, 10), np.float32),
+        ((40, 33, 37), 16, np.uint8),
+    ]:
+        vol = rng.random(shape).astype(np.float32)
+        if dtype == np.uint8:
+            vol = (vol * 255).astype(np.uint8)
+        common = dict(window=3, threshold=0.55, method="both")
+        plan = make_stream_plan(spec, variables, shape, core=core,
+                                **common)
+        mono = detect_staged(spec, variables, vol,
+                             staged=stage_volume(vol, plan=plan),
+                             plan=plan, **common)
+        staged = stage_volume_chunked(vol, plan=plan, chunk=chunk)
+        ch = detect_staged(spec, variables, vol, staged=staged,
+                           plan=plan, **common)
+        for a, b in zip(mono, ch):
+            assert len(a) == len(b)
+            np.testing.assert_array_equal(a.locs, b.locs)
+            np.testing.assert_array_equal(a.conf, b.conf)
+
+
+def test_staged_chunked_window_vs_monolithic(model, rng):
+    """_StagedChunks.window(start, size) == the monolithic big's slice
+    for every ROI of a plan — the invariant the chunked sweep rests on
+    (also crosses two different chunkings to catch assembly-executable
+    cache collisions)."""
+    from flypylib_tpu.infer.large import (
+        make_stream_plan,
+        stage_volume,
+        stage_volume_chunked,
+    )
+
+    spec, variables = model
+    shape = (40, 26, 30)
+    vol = rng.random(shape).astype(np.float32)
+    plan = make_stream_plan(spec, variables, shape, core=16, window=3,
+                            threshold=0.5, method="nms")
+    big, h = stage_volume(vol, plan=plan)
+    big = np.asarray(big)
+    P = plan.pipe.padded_shape
+    ext = [max(0, max(c[d] for _, c in plan.grid) + P[d] - big.shape[d])
+           for d in range(3)]
+    big = np.pad(big, [(0, e) for e in ext])
+    for chunk in (7, 16):
+        staged = stage_volume_chunked(vol, plan=plan, chunk=chunk)
+        for _, corner in plan.grid:
+            w = np.asarray(staged.window(tuple(corner), P))
+            ref = big[
+                corner[0] : corner[0] + P[0],
+                corner[1] : corner[1] + P[1],
+                corner[2] : corner[2] + P[2],
+            ]
+            np.testing.assert_array_equal(w, ref, err_msg=str(corner))
+
+
 def test_staged_multi_device_bit_identical(model, rng):
     """detect_staged(devices=...) fans the ROI sweep over local devices
     with bit-identical detections (disjoint cores, order-exact merge)."""
