@@ -258,24 +258,24 @@ def bench_train(steps: int = 100, batch: int = 32, patch: int = 33):
     image = rng.integers(0, 256, (size,) * 3).astype(np.uint8)
     labels = (rng.random((size,) * 3) > 0.999).astype(np.float32)
     mask = np.ones((size,) * 3, np.float32)
-    cfg = TrainConfig(patch_size=patch, batch_size=batch, augment=True,
-                      steps_per_epoch=steps)
-    pvox = spec.valid_size(patch)
-    data = TrainData.build(image, labels, mask, pvox)
-    tr = Trainer(spec, cfg, seed=0)
-    state = tr.init_state()
-    _, epoch_step, _ = make_train_step(spec, cfg)
-    keys = jax.random.split(jax.random.PRNGKey(1), steps)
-    state, m = epoch_step(state, keys, data)  # compile + warm
-    float(m["loss"])
-    t0 = time.perf_counter()
-    state, m = epoch_step(state, keys, data)
-    float(m["loss"])
-    dt = time.perf_counter() - t0
-    return {
-        "train_steps_per_s": steps / dt,
-        "train_patch_mvox_s": steps * batch * pvox**3 / dt / 1e6,
-    }
+    out = {}
+    for engine, prefix in (("plain", "train"), ("packed", "train_packed")):
+        cfg = TrainConfig(patch_size=patch, batch_size=batch, augment=True,
+                          steps_per_epoch=steps, engine=engine)
+        _, epoch_step, pvox = make_train_step(spec, cfg)
+        data = TrainData.build(image, labels, mask, pvox)
+        tr = Trainer(spec, cfg, seed=0)
+        state = tr.init_state()
+        keys = jax.random.split(jax.random.PRNGKey(1), steps)
+        state, m = epoch_step(state, keys, data)  # compile + warm
+        float(m["loss"])
+        t0 = time.perf_counter()
+        state, m = epoch_step(state, keys, data)
+        float(m["loss"])
+        dt = time.perf_counter() - t0
+        out[f"{prefix}_steps_per_s"] = steps / dt
+        out[f"{prefix}_patch_mvox_s"] = steps * batch * pvox**3 / dt / 1e6
+    return out
 
 
 def bench_unet(size: int = 192):

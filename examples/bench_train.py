@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--patch", type=int, default=33)
     ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--engine", default="plain", choices=("plain", "packed"),
+                    help="'packed' differentiates the space-to-depth "
+                    "engine's forward (~2x steps/s; see BENCH_NOTES.md)")
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}")
@@ -59,8 +62,9 @@ def main():
     results = {}
     for augment in (True, False):
         cfg = TrainConfig(patch_size=args.patch, batch_size=args.batch,
-                          augment=augment, steps_per_epoch=args.steps)
-        patch = spec.valid_size(args.patch)
+                          augment=augment, steps_per_epoch=args.steps,
+                          engine=args.engine)
+        _, _, patch = make_train_step(spec, cfg)
         data = TrainData.build(image, labels, mask, patch)
         dt, patch = measure(cfg, spec, data, args.steps)
         sps = args.steps / dt

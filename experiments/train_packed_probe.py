@@ -88,7 +88,7 @@ def main():
 
         if name.startswith("packed"):
             def fwd(p, x):
-                return sp.module._forward({"params": p}, x)[..., 0]
+                return sp.module.forward_train({"params": p}, x)[..., 0]
         else:
             def fwd(p, x):
                 return sp.module.apply({"params": p}, x,

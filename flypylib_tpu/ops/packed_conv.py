@@ -246,9 +246,16 @@ class PackedConvStack:
         x = x.transpose(0, 4, 1, 2, 3, 5).reshape(b0 * 8, d, h, w_, c)
         return lax.optimization_barrier(x)
 
-    def apply_stage_b(self, variables, x):
+    def apply_stage_b(self, variables, x, *, f32_logits: bool = False):
         """Phase 2: dilated stage-B convs (parity-batched lattices) +
-        head + logits + parity merge back to full resolution."""
+        head + logits + parity merge back to full resolution.
+
+        ``f32_logits`` swaps the split-weight bf16 logits conv for the
+        plain f32 conv: the split-weight form's mixed-dtype conv
+        (bf16 operands, f32 ``preferred_element_type``) has no JAX
+        transpose rule, so the differentiable path
+        (:meth:`forward_train`) needs the f32 form — a pure-bandwidth
+        cost that is negligible at training patch sizes."""
         inner = self.inner
         params = variables["params"]
         dt = self.dtype
@@ -275,12 +282,38 @@ class PackedConvStack:
         x = _conv(x, w).astype(dt) + b
         x = jax.nn.relu(x)
 
-        x = self._logits_split_weight(x, params, dt)
+        if f32_logits:
+            w = params[f"Conv_{n_body + 1}"]["kernel"].astype(jnp.float32)
+            b = params[f"Conv_{n_body + 1}"]["bias"].astype(jnp.float32)
+            x = _conv(x.astype(jnp.float32), w) + b
+        else:
+            x = self._logits_split_weight(x, params, dt)
 
         # merge parity lattices back to full resolution
         for _ in range(level):
             x = parity_merge(x)
         return x
+
+    def forward_train(self, variables, x):
+        """Differentiable packed forward (same re-association as
+        :meth:`_forward`, f32 logits conv — see ``f32_logits``).
+
+        Valid as a TRAINING computation on the shared params tree when
+        the model has no BatchNorm (the packed epilogue folds running
+        stats, which is inference-mode semantics).  The space-to-depth
+        rewrite is an exact linear re-association, so its
+        ``value_and_grad`` optimizes the same objective as the plain
+        forward up to bf16 rounding."""
+        if self.inner.use_batchnorm:
+            raise ValueError(
+                "packed training requires use_batchnorm=False (the "
+                "packed epilogue folds inference-mode running stats)"
+            )
+        if self.n_lead and self.stage_b == "group":
+            raise ValueError("packed training supports stage_b='split'")
+        return self.apply_stage_b(
+            variables, self.apply_stage_a(variables, x), f32_logits=True
+        )
 
     def _logits_split_weight(self, x, params, dt, groups: int = 1):
         """Logits conv: ConvStack's head is f32, but upcasting the

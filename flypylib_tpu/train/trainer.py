@@ -42,6 +42,10 @@ class TrainConfig:
     pos_jitter: int = 5  # voxel jitter around positive centers
     augment: bool = True
     steps_per_epoch: int = 100
+    # "plain" runs the Flax module; "packed" differentiates the
+    # space-to-depth engine's forward_train (ConvStack, no BatchNorm) —
+    # same objective up to bf16 rounding (tests/test_packed_conv.py)
+    engine: str = "plain"
 
 
 class TrainState(struct.PyTreeNode):
@@ -180,12 +184,40 @@ def _gather(vols, vidx, corner, size):
     return sl[0]
 
 
+def resolve_train_spec(spec: ModelSpec, cfg: TrainConfig) -> ModelSpec:
+    """The spec the train step actually differentiates.
+
+    ``engine="packed"`` swaps in the packed spec (same params tree,
+    stricter size constraints — its valid_size governs patch sampling,
+    so Trainer.fit and make_loss_fn must both resolve through here).
+    """
+    if cfg.engine == "packed":
+        from flypylib_tpu.ops.packed_conv import PackedConvStack, packed_spec
+
+        if isinstance(spec.module, PackedConvStack):
+            return spec
+        pspec = packed_spec(spec)
+        if pspec is None:
+            raise ValueError(
+                f"engine='packed' needs a ConvStack model (got "
+                f"{spec.module!r})"
+            )
+        return pspec
+    if cfg.engine != "plain":
+        raise ValueError(f"unknown engine {cfg.engine!r}")
+    return spec
+
+
 def make_loss_fn(spec: ModelSpec, cfg: TrainConfig, shard_batch=None):
     """Shared loss over TrainData; ``shard_batch`` optionally applies a
     sharding constraint to the sampled patch batch (mesh data parallelism).
 
     Returns ``(loss_fn, patch_size)``.
     """
+    spec = resolve_train_spec(spec, cfg)
+    packed_fwd = (
+        spec.module.forward_train if cfg.engine == "packed" else None
+    )
     patch = spec.valid_size(cfg.patch_size)
     ctx = spec.context
     out = patch - 2 * ctx
@@ -225,12 +257,15 @@ def make_loss_fn(spec: ModelSpec, cfg: TrainConfig, shard_batch=None):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        outputs = spec.module.apply(
-            variables,
-            x[..., None],
-            train=True,
-            mutable=["batch_stats"] if batch_stats else [],
-        )
+        if packed_fwd is not None:
+            outputs = packed_fwd(variables, x[..., None])
+        else:
+            outputs = spec.module.apply(
+                variables,
+                x[..., None],
+                train=True,
+                mutable=["batch_stats"] if batch_stats else [],
+            )
         logits, updates = outputs if isinstance(outputs, tuple) else (outputs, {})
         logits = logits[..., 0]
         loss = masked_bce_loss(logits, y, m)
@@ -354,7 +389,9 @@ class Trainer:
         single-device path (the step body is shared; pinned by
         tests/test_parallel.py).
         """
-        patch = self.spec.valid_size(self.cfg.patch_size)
+        patch = resolve_train_spec(self.spec, self.cfg).valid_size(
+            self.cfg.patch_size
+        )
         data = TrainData.build(image, labels, mask, patch)
 
         if self.state is None:

@@ -286,3 +286,66 @@ def test_pipeline_two_phase_equals_fused(rng):
     d2 = pipe2.postprocess(pipe2.forward(vol))
     d1 = pipe1.postprocess(pipe1.forward(vol))
     np.testing.assert_array_equal(d2[0].locs, d1[0].locs)
+
+
+def test_forward_train_matches_plain_and_grads(rng):
+    """The differentiable packed forward (forward_train): same values
+    and same gradients as the plain ConvStack train forward, to
+    accumulation tolerance (it is an exact linear re-association; only
+    bf16 rounding order differs — here f32 makes it tight)."""
+    spec = baseline_model(
+        features=(4, 6), dilations=(1, 2), head_features=8,
+        dtype=jnp.float32,
+    )
+    pspec = packed_spec(spec)
+    s = pspec.valid_size(max(pspec.min_size, 14))
+    variables = spec.init(jax.random.PRNGKey(0), s)
+    x = jnp.asarray(rng.normal(size=(2, s, s, s, 1)).astype(np.float32))
+
+    ref = spec.apply(variables, x, train=True)
+    got = pspec.module.forward_train(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(got), rtol=1e-5, atol=1e-5
+    )
+
+    def loss_plain(p):
+        return jnp.mean(spec.apply({"params": p}, x, train=True) ** 2)
+
+    def loss_packed(p):
+        return jnp.mean(pspec.module.forward_train({"params": p}, x) ** 2)
+
+    gp = jax.grad(loss_plain)(variables["params"])
+    gq = jax.grad(loss_packed)(variables["params"])
+    for a, b in zip(
+        jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gq)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_forward_train_rejections(rng):
+    """BatchNorm models and group-mode stage B refuse packed training."""
+    bn_module = ConvStack(
+        features=(4,), dilations=(1,), head_features=4,
+        dtype=jnp.float32, use_batchnorm=True,
+    )
+    pbn = PackedConvStack(bn_module)
+    s = 8
+    variables = bn_module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, s, s, s, 1)), train=False
+    )
+    x = jnp.zeros((1, s, s, s, 1), jnp.float32)
+    with pytest.raises(ValueError, match="use_batchnorm"):
+        pbn.forward_train(variables, x)
+
+    g = packed_spec(
+        baseline_model(features=(4, 6), dilations=(1, 2),
+                       head_features=4, dtype=jnp.float32),
+        stage_b="group",
+    )
+    sg = g.valid_size(g.min_size)
+    vg = g.module.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, sg, sg, sg, 1)))
+    with pytest.raises(ValueError, match="split"):
+        g.module.forward_train(vg, jnp.zeros((1, sg, sg, sg, 1)))

@@ -198,3 +198,68 @@ def test_network_train_mesh_kwarg():
     hist = net.train(image, labels, mask, epochs=1,
                      mesh=make_mesh(4, axis="data"))
     assert np.isfinite(hist[0]["loss"])
+
+
+def test_packed_engine_matches_plain():
+    """engine="packed" optimizes the same objective: with an f32 model
+    and identical patch geometry (same sampling stream), the packed and
+    plain trajectories match to re-association tolerance."""
+    from flypylib_tpu.ops.packed_conv import packed_spec
+
+    image, labels, mask, _ = synthetic_task()
+    spec = baseline_model(features=(8, 8), dilations=(1, 2),
+                          head_features=16, dtype=jnp.float32)
+    p = packed_spec(spec).valid_size(18)
+    # identical sampling requires the plain engine to resolve the same
+    # patch (ConvStack accepts any size, so this holds by construction)
+    assert spec.valid_size(p) == p
+    h_plain, h_packed, params = [], [], []
+    for engine in ("plain", "packed"):
+        cfg = TrainConfig(patch_size=p, batch_size=8, steps_per_epoch=8,
+                          engine=engine)
+        tr = Trainer(spec, cfg, seed=3)
+        hist = tr.fit(image, labels, mask, epochs=2)
+        (h_plain if engine == "plain" else h_packed).extend(hist)
+        params.append(tr.state.params)
+    for a, b in zip(h_plain, h_packed):
+        assert abs(a["loss"] - b["loss"]) < 1e-3
+    for x, y in zip(jax.tree_util.tree_leaves(params[0]),
+                    jax.tree_util.tree_leaves(params[1])):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_packed_engine_rejects_unet():
+    from flypylib_tpu.models.zoo import unet
+
+    cfg = TrainConfig(engine="packed")
+    with pytest.raises(ValueError, match="ConvStack"):
+        Trainer(unet(), cfg, seed=0).fit(*synthetic_task()[:3])
+
+
+def test_unknown_engine_rejected():
+    cfg = TrainConfig(engine="fast")
+    with pytest.raises(ValueError, match="unknown engine"):
+        Trainer(small_spec(), cfg, seed=0).fit(*synthetic_task()[:3])
+
+
+def test_packed_engine_mesh_dp_matches_single_chip():
+    """Invariant 4 holds for engine="packed" too: the dp and single-chip
+    paths share the packed step body, so same seed => same params."""
+    from flypylib_tpu.parallel import make_mesh
+
+    image, labels, mask, _ = synthetic_task(size=24, n_pts=3, seed=0)
+    spec = baseline_model(features=(8, 8), dilations=(1, 2),
+                          head_features=16, dtype=jnp.float32)
+    cfg = TrainConfig(patch_size=14, batch_size=8, steps_per_epoch=3,
+                      engine="packed")
+
+    tr_single = Trainer(spec, cfg, seed=0)
+    tr_single.fit(image, labels, mask, epochs=2)
+
+    tr_dp = Trainer(spec, cfg, seed=0)
+    tr_dp.fit(image, labels, mask, epochs=2, mesh=make_mesh(4, axis="data"))
+
+    for a, b in zip(jax.tree_util.tree_leaves(tr_single.state.params),
+                    jax.tree_util.tree_leaves(tr_dp.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
