@@ -39,7 +39,10 @@ def main():
     vol = (make_volume(SIZE, n_blobs=SIZE // 16) * 255).astype(np.uint8)
     q = 1.0 - 2000.0 / vol.size
 
-    shapes = [(96, 2), (96, 1), (180, 1), (196, 1)]
+    # NOTE: (96, 1) reproducibly CRASHES the TPU worker (codegen fault,
+    # like the known-bad t96b4) — excluded.  (96, 2) is the production
+    # shape and the comparison reference.
+    shapes = [(96, 2), (180, 1), (196, 1)]
     open("experiments/unet_pipe_tiles.jsonl", "w").close()
     ref = None
     for tout, tb in shapes:

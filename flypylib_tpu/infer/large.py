@@ -54,6 +54,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from flypylib_tpu.infer.pipeline import DetectPipeline
 from flypylib_tpu.io.synapses import Tbars
@@ -150,11 +151,15 @@ class _StreamPlan:
         max_components_per_roi: int,
         method: str,
         cc_impl: str = "sparse",
+        fused_impl: str = "filter",
     ):
         if method not in ("nms", "components", "both"):
             raise ValueError(f"unknown method {method!r}")
         if cc_impl not in ("sparse", "device"):
             raise ValueError(f"unknown cc_impl {cc_impl!r}")
+        if fused_impl not in ("nbr", "filter"):
+            raise ValueError(f"unknown fused_impl {fused_impl!r}")
+        self.fused_impl = fused_impl
         self.want_nms = method in ("nms", "both")
         self.want_cc = method in ("components", "both")
         self.method = method
@@ -351,9 +356,22 @@ class _StreamPlan:
         filter (out-of-volume voxels are -inf-masked and fail the
         threshold).  Measured 66.8 ms vs 105.6 ms for the two-dispatch
         pair at the 1k^3 sweep's 528^3 ROI shape
-        (experiments/post_profile3.py)."""
+        (experiments/post_profile3.py); 37.2 ms after the 3-level
+        compaction rewrite (experiments/post_profile4.py).
+
+        ``fused_impl="nbr"`` is a measured-and-REJECTED alternative that
+        resolves ``is_max`` sparsely — one XLA gather of each compacted
+        candidate's (window-volume,) neighborhood, out-of-volume
+        neighbors -inf'd by coordinate compare (a voxel equals its
+        window max iff no neighbor is strictly larger — exact, plateau
+        ties included; pinned on CPU in tests/test_large.py).  It
+        deletes the dense max filter but loses 3.8x on TPU (140.7 vs
+        37.2 ms at 528^3/15k candidates): a (C, window^3) random HBM
+        gather is far slower than the fused separable reduce_window
+        (experiments/post_profile4.py)."""
+        impl = self.fused_impl
         try:
-            return self._fused_cache[C]
+            return self._fused_cache[(C, impl)]
         except (AttributeError, KeyError):
             pass
         from flypylib_tpu.ops.components import compact_true_indices
@@ -368,7 +386,7 @@ class _StreamPlan:
         hi_ext = [w - 1 - w // 2 for w in win]
 
         @jax.jit
-        def f(out, vlo, vhi, thr):
+        def f_filter(out, vlo, vhi, thr):
             prob = out[:vz, :vy, :vx]
             prob, _ = mask_valid_region(prob, vlo, vhi)
             sub = jax.lax.slice(
@@ -396,10 +414,62 @@ class _StreamPlan:
             over = jnp.sum(m, dtype=jnp.int32) > cap
             return idx, probs, is_max, over
 
+        @jax.jit
+        def f_nbr(out, vlo, vhi, thr):
+            prob = out[:vz, :vy, :vx]
+            flat = prob.reshape(-1)
+            corep = jax.lax.slice(
+                prob, (h, h, h), (h + cz, h + cy, h + cx)
+            ).reshape(-1)
+            zz = lax.broadcasted_iota(jnp.int32, (cz, cy, cx), 0) + h
+            yy = lax.broadcasted_iota(jnp.int32, (cz, cy, cx), 1) + h
+            xx = lax.broadcasted_iota(jnp.int32, (cz, cy, cx), 2) + h
+            inb = (
+                (zz >= vlo[0]) & (zz < vhi[0])
+                & (yy >= vlo[1]) & (yy < vhi[1])
+                & (xx >= vlo[2]) & (xx < vhi[2])
+            ).reshape(-1)
+            m = inb & (corep >= thr)
+            cap = min(C, n)
+            idx = compact_true_indices(m, cap)
+            v = idx < n
+            safe = jnp.minimum(idx, n - 1)
+            probs = jnp.where(v, corep[safe], -jnp.inf)
+            czi = safe // (cy * cx) + h
+            rem = safe % (cy * cx)
+            cyi = rem // cx + h
+            cxi = rem % cx + h
+            offs = jnp.stack(
+                jnp.meshgrid(
+                    jnp.arange(-lo_ext[0], hi_ext[0] + 1),
+                    jnp.arange(-lo_ext[1], hi_ext[1] + 1),
+                    jnp.arange(-lo_ext[2], hi_ext[2] + 1),
+                    indexing="ij",
+                ),
+                axis=-1,
+            ).reshape(-1, 3).astype(jnp.int32)
+            nz = czi[:, None] + offs[None, :, 0]
+            ny = cyi[:, None] + offs[None, :, 1]
+            nx = cxi[:, None] + offs[None, :, 2]
+            nval = flat[((nz * vy + ny) * vx + nx).reshape(-1)].reshape(
+                nz.shape
+            )
+            ninb = (
+                (nz >= vlo[0]) & (nz < vhi[0])
+                & (ny >= vlo[1]) & (ny < vhi[1])
+                & (nx >= vlo[2]) & (nx < vhi[2])
+            )
+            nval = jnp.where(ninb, nval, -jnp.inf)
+            is_max = v & jnp.all(nval <= probs[:, None], axis=1)
+            over = jnp.sum(m, dtype=jnp.int32) > cap
+            return idx, probs, is_max, over
+
+        f = f_nbr if impl == "nbr" else f_filter
+
         cache = getattr(self, "_fused_cache", None)
         if cache is None:
             cache = self._fused_cache = {}
-        cache[C] = f
+        cache[(C, impl)] = f
         return f
 
     def _dense_faces(self, faces):
@@ -681,6 +751,7 @@ def make_stream_plan(
     max_components_per_roi: int = 4096,
     method: str = "nms",
     cc_impl: str = "sparse",
+    fused_impl: str = "filter",
 ):
     """Build the reusable streaming-detection engine (ROI grid + compiled
     pipelines) for :func:`detect_streaming` / :func:`detect_staged`.
@@ -702,11 +773,21 @@ def make_stream_plan(
     runs dense label-propagation CC per ROI on device with a union-find
     seam merge — better for dense (e.g. membrane) masks.  Both are
     detection-exact vs ``scipy.ndimage.label`` (tests/test_large.py).
+
+    ``fused_impl`` selects how the fused ``method="both"`` postprocess
+    resolves each candidate's local-max bit: ``"filter"`` (default) runs
+    the dense separable max filter; ``"nbr"`` gathers the compacted
+    candidates' window neighborhoods — asymptotically cheaper (work
+    scales with candidate count, not ROI volume) but measured 3.8x
+    SLOWER on TPU at the production operating point (random HBM gathers
+    vs fused reduce_window — experiments/post_profile4.py), so it is
+    kept only as a documented alternative.  Detection-identical (both
+    pinned vs the scipy host reference in tests/test_large.py).
     """
     return _StreamPlan(
         spec, variables, shape, core, tile_out, tile_batch, window,
         threshold, max_detections_per_roi, max_components_per_roi, method,
-        cc_impl,
+        cc_impl, fused_impl,
     )
 
 

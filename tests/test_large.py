@@ -120,16 +120,29 @@ def test_streaming_sparse_cc_candidate_overflow_grows(model, rng):
     assert_same_detections(host, got, loc_tol=1e-3)
 
 
-@pytest.mark.parametrize("cc_impl", ["sparse", "device"])
-def test_streaming_both_methods(model, rng, cc_impl):
+@pytest.mark.parametrize(
+    "cc_impl,fused_impl",
+    [("sparse", "nbr"), ("sparse", "filter"), ("device", None)],
+)
+def test_streaming_both_methods(model, rng, cc_impl, fused_impl):
+    """method="both" vs host reference, for both fused postprocess
+    implementations (sparse neighborhood-gather is_max vs dense max
+    filter) and the device-CC backend."""
+    from flypylib_tpu.infer.large import make_stream_plan
+
     spec, variables = model
     vol = rng.random((40, 40, 40)).astype(np.float32)
     prob = reference_prob(spec, variables, vol)
     thr = float(np.quantile(prob, 0.99))
     shape, read = array_reader(vol)
+    plan = make_stream_plan(
+        spec, variables, shape, core=24, tile_out=24,
+        window=3, threshold=thr, method="both", cc_impl=cc_impl,
+        fused_impl=fused_impl or "filter",
+    )
     nms_det, cc_det = detect_streaming(
         spec, variables, shape, read, core=24, tile_out=24,
-        window=3, threshold=thr, method="both", cc_impl=cc_impl,
+        window=3, threshold=thr, method="both", cc_impl=cc_impl, plan=plan,
     )
     assert_same_detections(nms_host(prob, window=3, threshold=thr), nms_det)
     assert_same_detections(
