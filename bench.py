@@ -295,13 +295,15 @@ def bench_unet(size: int = 192):
         np.uint8
     )
     q = 1.0 - 2000.0 / vol.size
-    # tile 96 x batch 2: round-3 sweep winner (36.2 Mvox/s at 192^3,
-    # experiments/unet_profile3.jsonl) — the context-20 U-Net prefers
-    # mid-size tiles once pool_pack removed the per-level relayout; NB
-    # tile 96 x batch 4 reproducibly crashes the TPU worker (Mosaic/XLA
-    # codegen fault) — keep batch 2 at this tile
+    # tile 196 x batch 1: ONE monolithic 236^3 tile covers the 192^3
+    # volume — 1.86x processed-voxel redundancy vs 3.10x for the t96b2
+    # grid, and the real-pipeline U-Net chain rate GROWS with tile size
+    # (unet_pipe_tiles.jsonl; 44.4 Mvox/s vs 36.2 at t96b2).  Unlike the
+    # ConvStack, the pooled U-Net does not OOM on >200^3 tiles.  NB
+    # tile 96 x batch 4 AND batch 1 reproducibly crash the TPU worker
+    # (Mosaic/XLA codegen fault) — avoid those shapes
     pipe = DetectPipeline(
-        pspec, variables, vol.shape, tile_out=96, tile_batch=2,
+        pspec, variables, vol.shape, tile_out=196, tile_batch=1,
         window=5, threshold_quantile=q,
         max_detections=4096, max_components=4096,
     )
