@@ -278,7 +278,7 @@ def bench_train(steps: int = 100, batch: int = 32, patch: int = 33):
     return out
 
 
-def bench_unet(size: int = 192):
+def bench_unet(size: int = 384):
     """Eval config 4 [B:10]: U-Net device-resident predict + NMS + CC
     throughput through the packed U-Net engine."""
     from flypylib_tpu.infer.pipeline import DetectPipeline
@@ -295,15 +295,16 @@ def bench_unet(size: int = 192):
         np.uint8
     )
     q = 1.0 - 2000.0 / vol.size
-    # tile 196 x batch 1: ONE monolithic 236^3 tile covers the 192^3
-    # volume — 1.86x processed-voxel redundancy vs 3.10x for the t96b2
-    # grid, and the real-pipeline U-Net chain rate GROWS with tile size
-    # (unet_pipe_tiles.jsonl; 44.4 Mvox/s vs 36.2 at t96b2).  Unlike the
-    # ConvStack, the pooled U-Net does not OOM on >200^3 tiles.  NB
+    # ONE monolithic covering tile (tin 428): the real-pipeline U-Net
+    # chain rate GROWS with tile size and the pooled net avoids the
+    # ConvStack's conv-patch OOM — measured 44.4 Mvox/s at 192^3,
+    # 52.4 at 256^3, 63.2 at 384^3 vs 36.2 for the best (t96b2) grid at
+    # 192^3 (unet_pipe_tiles / unet_scale256 experiments).  tin 428 is
+    # the ceiling: tin 552 is refused by the XLA compile service.  NB
     # tile 96 x batch 4 AND batch 1 reproducibly crash the TPU worker
     # (Mosaic/XLA codegen fault) — avoid those shapes
     pipe = DetectPipeline(
-        pspec, variables, vol.shape, tile_out=196, tile_batch=1,
+        pspec, variables, vol.shape, tile_out=size, tile_batch=1,
         window=5, threshold_quantile=q,
         max_detections=4096, max_components=4096,
     )
@@ -365,6 +366,14 @@ def bench_cpu_reference(size: int = 128):
 
 
 def main():
+    # persistent compilation cache: every timed region is warmed first,
+    # so caching never touches the reported numbers — it only removes
+    # the minutes of identical remote recompiles on repeat bench runs
+    # (measured 117.5 -> 2.3 s for a DetectPipeline build,
+    # BENCH_NOTES.md round 3)
+    from flypylib_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     info = bench_tpu(size=size)
     value = info.pop("value")

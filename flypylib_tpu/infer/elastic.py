@@ -24,6 +24,13 @@ Workers iterate the ROI list starting at their own offset (worker k of n
 starts at position k*len/n), so contention on fresh queues is near zero;
 a second sweep reclaims expired leases.  Tested with concurrent workers
 and a mid-run crash in tests/test_elastic.py.
+
+Restarted workers should call
+:func:`flypylib_tpu.utils.cache.enable_compilation_cache` before
+building their pipeline: with the persistent XLA cache the re-created
+plan loads in seconds instead of recompiling for minutes (measured
+117.5 -> 2.3 s — BENCH_NOTES.md round 3), which also keeps the restart
+comfortably inside the default 600 s lease.
 """
 
 from __future__ import annotations

@@ -232,3 +232,58 @@ def infer_volume(
     return TiledInference(
         spec, variables, tile_out=tile_out, tile_batch=tile_batch
     ).infer(volume, keep_on_device=keep_on_device)
+
+
+def default_tiling(
+    spec: ModelSpec, vol_shape, max_tile_in: int = 428
+) -> tuple[int, int]:
+    """Model-aware default ``(tile_out, tile_batch)`` for a volume.
+
+    Two measured regimes (BENCH_NOTES.md rounds 2-3):
+
+    - **Pooling topologies** (the valid-conv U-Net, plain or packed):
+      the chain rate GROWS with tile size, grids pay 1.9-3x halo
+      redundancy, and pooling shrinks activation footprints enough
+      that big tiles fit — ONE covering tile wins whenever its input
+      is under ``max_tile_in`` (44.4 vs 36.2 Mvox/s at 192^3,
+      52.4 vs 46.4 at 256^3, 63.2 at 384^3/tin 428 — the measured
+      ceiling on a 16 GB v5e: tin 552 is refused by the XLA compile
+      service; experiments/unet_pipe_tiles, unet_scale256,
+      BENCH_NOTES.md round 3).  Larger volumes get the largest valid
+      tile under the cap, batch 1.
+    - **Dilated conv stacks**: batched small-spatial tiles fill the
+      MXU better than big tiles despite halo redundancy (t64b16 beat
+      t256 by 1.5x at 256^3, round 2), and monolithic >200^3 conv
+      tiles OOM via XLA conv-patch materialization — 64-wide tiles,
+      batch up to 8 bounded by the grid size.
+
+    The regime comes from the module topology (``UNetValid`` /
+    ``PackedUNet``); custom specs can force it via
+    ``metadata["tiling"] = "cover"`` or ``"grid"``.
+    """
+    from flypylib_tpu.models.zoo import UNetValid
+    from flypylib_tpu.ops.packed_unet import PackedUNet
+
+    dims = to3d(vol_shape)
+    ctx = spec.context
+    regime = spec.metadata.get("tiling")
+    if regime is None:
+        regime = (
+            "cover"
+            if isinstance(spec.module, (UNetValid, PackedUNet))
+            else "grid"
+        )
+    if regime == "cover":
+        ext = max(dims)
+        if spec.valid_size(ext + 2 * ctx) <= max_tile_in:
+            return ext, 1
+        # largest valid tile input under the cap
+        tin = max_tile_in
+        while tin > spec.min_size and not spec.is_valid_size(tin):
+            tin -= 1
+        return max(tin - 2 * ctx, spec.size_multiple), 1
+    tile = 64
+    n_tiles = 1
+    for d in dims:
+        n_tiles *= max(1, -(-d // tile))
+    return tile, max(1, min(8, n_tiles))

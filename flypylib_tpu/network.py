@@ -120,11 +120,26 @@ class FplNetwork:
     def infer(
         self,
         volume: np.ndarray,
-        tile_out: int = 64,
-        tile_batch: int = 1,
+        tile_out: int | None = None,
+        tile_batch: int | None = None,
         keep_on_device: bool = False,
     ):
-        """Whole-volume probability map via overlap-tiled inference."""
+        """Whole-volume probability map via overlap-tiled inference.
+
+        ``tile_out``/``tile_batch`` default to the model-aware choice
+        (:func:`flypylib_tpu.infer.tiled.default_tiling`): one covering
+        tile for pooling topologies (the U-Net chain rate grows with
+        tile size), batched 64-wide tiles for conv stacks (measured
+        faster than big tiles on the MXU).  Results are identical
+        either way — tiled == monolithic is test-pinned."""
+        if tile_out is None or tile_batch is None:
+            from flypylib_tpu.infer.tiled import default_tiling
+
+            d_out, d_batch = default_tiling(
+                self.infer_spec, np.asarray(volume).shape
+            )
+            tile_out = d_out if tile_out is None else tile_out
+            tile_batch = d_batch if tile_batch is None else tile_batch
         key = (tile_out, tile_batch)
         if self._tiled is None or self._tiled_key != key:
             self._tiled = TiledInference(
@@ -150,11 +165,14 @@ class FplNetwork:
         volume: np.ndarray,
         window=3,
         threshold: float = 0.5,
-        tile_out: int = 64,
-        tile_batch: int = 1,
+        tile_out: int | None = None,
+        tile_batch: int | None = None,
         method: str = "nms",
     ) -> Tbars:
-        """infer + nms/cc in one pass with the prob map kept in HBM."""
+        """infer + nms/cc in one pass with the prob map kept in HBM.
+
+        ``tile_out``/``tile_batch`` default model-aware — see
+        :meth:`infer`."""
         prob = self.infer(
             volume, tile_out=tile_out, tile_batch=tile_batch,
             keep_on_device=True,

@@ -1,3 +1,4 @@
+from flypylib_tpu.utils.cache import enable_compilation_cache
 from flypylib_tpu.utils.core import (
     to3d,
     ceil_div,
@@ -8,6 +9,7 @@ from flypylib_tpu.utils.core import (
 )
 
 __all__ = [
+    "enable_compilation_cache",
     "to3d",
     "ceil_div",
     "round_up",

@@ -22,6 +22,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: the suite's ~1400 CPU executables are
+# identical across runs; cache hits cut repeat-suite wall-clock
+# substantially (measured in BENCH_NOTES.md round 3).  Keyed on HLO +
+# jaxlib fingerprint, so stale hits are not a correctness risk.
+from flypylib_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 import numpy as np
 import pytest
 

@@ -84,3 +84,58 @@ def test_host_stream_equals_device_path(small_model, rng):
     on_dev = eng.infer(vol)
     streamed = eng.infer(vol, host_stream=True)
     np.testing.assert_array_equal(on_dev, streamed)
+
+
+def test_default_tiling_regimes():
+    """Model-aware defaults: covering tile for pooling topologies,
+    batched 64-wide grid for conv stacks; metadata override wins;
+    large pooled volumes fall back to the largest tile under the cap
+    (BENCH_NOTES.md round 3: monolithic U-Net tiles measured 1.2x the
+    best grid at 192^3 and 256^3)."""
+    import dataclasses
+
+    from flypylib_tpu.infer.tiled import default_tiling
+    from flypylib_tpu.ops.packed_conv import packed_spec
+    from flypylib_tpu.ops.packed_unet import packed_unet_spec
+
+    u = unet()
+    pu = packed_unet_spec(u)
+    for s in (u, pu):
+        tout, tb = default_tiling(s, (192, 192, 192))
+        assert (tout, tb) == (192, 1)
+        # the snapped tile input covers the volume and is under the cap
+        tin = s.valid_size(tout + 2 * s.context)
+        assert tin - 2 * s.context >= 192 and tin <= 428
+
+    b = baseline_model()
+    pb = packed_spec(b)
+    for s in (b, pb):
+        tout, tb = default_tiling(s, (192, 192, 192))
+        assert (tout, tb) == (64, 8)
+    # grid batch is bounded by the tile count for small volumes
+    assert default_tiling(pb, (64, 64, 64)) == (64, 1)
+    assert default_tiling(pb, (64, 64, 130)) == (64, 3)
+
+    # pooled volume past the cap: largest valid tile input <= 428
+    tout, tb = default_tiling(pu, (512, 512, 512))
+    assert tb == 1
+    tin = pu.valid_size(tout + 2 * pu.context)
+    assert tin <= 428 and tout >= 300
+
+    # explicit metadata override beats the topology heuristic
+    forced = dataclasses.replace(
+        pb, metadata={**pb.metadata, "tiling": "cover"}
+    )
+    assert default_tiling(forced, (96, 96, 96)) == (96, 1)
+
+
+def test_network_default_tiling_matches_explicit(rng):
+    """FplNetwork.infer with model-aware defaults == explicit tiling
+    (bitwise — tiled == monolithic invariant)."""
+    from flypylib_tpu.network import FplNetwork
+
+    net = FplNetwork("baseline", features=(4, 4), dilations=(1, 1))
+    vol = rng.random((40, 40, 40)).astype(np.float32)
+    a = net.infer(vol)
+    b = net.infer(vol, tile_out=24, tile_batch=2)
+    np.testing.assert_array_equal(a, b)

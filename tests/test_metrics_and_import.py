@@ -243,3 +243,36 @@ def test_keras_order_import_rejects_unet(tmp_path):
             grp.create_dataset("bias:0", data=np.zeros(4, np.float32))
     with pytest.raises(ValueError, match="ConvTranspose"):
         load_keras_variables(path, variables)
+
+
+def test_enable_compilation_cache(tmp_path):
+    """enable_compilation_cache points jax at the dir and executables
+    get persisted.  Runs in a subprocess: once this process's
+    persistent cache is initialized (the suite's conftest compiles
+    against it), a later cache-dir update is ignored by jax — the
+    helper is for process start, as its docstring says."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from flypylib_tpu.utils.cache import enable_compilation_cache\n"
+        "path = enable_compilation_cache(sys.argv[1],"
+        " min_compile_time_secs=0.0)\n"
+        "assert jax.config.jax_compilation_cache_dir == path\n"
+        "import os\n"
+        "import jax.numpy as jnp\n"
+        "f = jax.jit(lambda x: jnp.tanh(x @ x.T) * 1.625 - 0.375)\n"
+        "f(jnp.arange(36.0).reshape(6, 6)).block_until_ready()\n"
+        "print(sum(1 for _ in os.scandir(path)))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(tmp_path / "xla")],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert int(out.stdout.strip().splitlines()[-1]) > 0, (
+        "no cache entry written"
+    )
