@@ -171,6 +171,23 @@ class _StreamPlan:
         ctx = spec.context
         h = ctx + (max(win) // 2 if self.want_nms else 0)
         h = max(h, ctx)  # CC needs at least the conv context halo
+        from flypylib_tpu.infer.tiled import tiling_regime
+        from flypylib_tpu.utils import round_up
+
+        mult = spec.size_multiple
+        pooled = tiling_regime(spec) == "cover" and mult > 1
+        if pooled:
+            # Pooling models are shift-equivariant only modulo the
+            # pooling stride: an ROI forward anchored at
+            # corner - fetch_halo matches the monolithic run (anchored
+            # at -context) iff corner - h = 0 (mod size_multiple).
+            # Round the halo up and snap core dims below so EVERY ROI
+            # keeps the monolithic pooling phase — without this,
+            # streamed U-Net detections silently diverge (caught by
+            # tests/test_large.py::test_pooled_default_core_and_tile).
+            # The extra halo voxels are true data (or the same single
+            # reflect continuation) and are masked/cropped exactly.
+            h = round_up(h, mult)
         self.ctx, self.h = ctx, h
         # plus the conv context for the halo's own probs
         self.fetch_halo = h + ctx
@@ -179,7 +196,10 @@ class _StreamPlan:
         # cores cut the ROI count (fixed per-ROI postprocess cost) while
         # keeping per-axis halo redundancy low
         self.core = int(core) if np.isscalar(core) else tuple(to3d(core))
-        self.core_dims = [min(c, s) for c, s in zip(to3d(core), shape)]
+        core3 = [
+            round_up(c, mult) if pooled else c for c in to3d(core)
+        ]
+        self.core_dims = [min(c, s) for c, s in zip(core3, shape)]
         # ownership partition: non-overlapping cores covering the volume
         starts = [
             list(range(0, s, c)) for s, c in zip(shape, self.core_dims)
@@ -193,6 +213,18 @@ class _StreamPlan:
 
         self.req_tile = (tile_out, tile_batch)  # as passed (for _check_plan)
         roi_extent = max(self.core_dims) + 2 * h
+        from flypylib_tpu.infer.tiled import default_tiling, tiling_regime
+
+        if tiling_regime(spec) == "cover":
+            # pooling topologies: one covering tile per ROI when it
+            # fits, else the largest tile under the cap — the U-Net
+            # chain rate grows with tile size and grids pay 2-3x halo
+            # redundancy (BENCH_NOTES.md round 3, unet_scale256)
+            d_out, d_batch = default_tiling(spec, (roi_extent,) * 3)
+            if tile_out is None:
+                tile_out = d_out
+            if tile_batch is None:
+                tile_batch = d_batch
         if tile_out is None:
             tile_out = _default_tile(roi_extent, spec)
         if tile_batch is None:
@@ -738,11 +770,53 @@ class _StreamPlan:
         return results[0]
 
 
+def _default_core(
+    spec: ModelSpec, window, grid_default: int, shape=None
+) -> int:
+    """Model-aware default ROI core.  Pooling topologies take the core
+    that minimizes total processed voxels (ROI grid count x covering
+    tile volume) subject to the remote-compile size cap (tile input
+    428 — BENCH_NOTES.md round 3): bigger cores shrink per-ROI halo
+    redundancy but a core that divides the volume badly multiplies the
+    ROI count (e.g. at 1k^3 the cap-maximal core 336 needs a 4^3 grid
+    of 428-tiles = 4.7x redundancy, while core 256 is 2.5x).  Conv
+    stacks keep the measured grid default (their per-ROI
+    postprocess/forward trade was swept at core 128-512, BENCH_NOTES.md
+    round 2)."""
+    from flypylib_tpu.infer.tiled import tiling_regime
+    from flypylib_tpu.utils import round_up
+
+    if tiling_regime(spec) != "cover":
+        return grid_default
+    ctx = spec.context
+    mult = max(spec.size_multiple, 1)
+    # mirror _StreamPlan's pooled geometry exactly: phase-aligned halo,
+    # core snapped to the pooling stride
+    h = round_up(ctx + max(to3d(window)) // 2, mult)
+    over = 2 * (h + ctx)
+    max_core = (428 - over) // mult * mult
+    while max_core > mult and spec.valid_size(max_core + over) > 428:
+        max_core -= mult
+    if shape is None:
+        return max(max_core, mult)
+    dims = to3d(shape)
+    best, best_cost = max_core, float("inf")
+    for core in range(mult, max_core + 1, mult):
+        tin = spec.valid_size(min(core, max(dims)) + over)
+        cost = tin**3
+        for d in dims:
+            cost *= -(-d // min(core, d))
+        # prefer the larger core on ties (fewer ROIs = fewer dispatches)
+        if cost <= best_cost:
+            best, best_cost = core, cost
+    return best
+
+
 def make_stream_plan(
     spec: ModelSpec,
     variables,
     shape,
-    core: int = 128,
+    core: int | None = None,
     tile_out: int | None = None,
     tile_batch: int | None = None,
     window=5,
@@ -759,7 +833,14 @@ def make_stream_plan(
     ``core`` is the ROI ownership box: an int (cubic) or a ``(z, y, x)``
     triple — anisotropic cores reduce the ROI count (and with it the
     fixed per-ROI postprocess cost) without growing per-axis halo
-    redundancy.
+    redundancy.  ``core=None`` picks a model-aware default: conv stacks
+    get the measured grid default, pooling topologies the largest core
+    whose ONE covering tile stays under the compile-size cap.  For
+    pooling models the core and the NMS halo are snapped up to
+    ``size_multiple`` so every ROI forward keeps the monolithic pooling
+    phase (pooling nets are shift-equivariant only modulo the pooling
+    stride; unaligned ROI anchors would silently change detections —
+    test-pinned in tests/test_large.py).
 
     Reuse one plan across calls on same-shaped volumes: every fresh plan
     re-jits the tile forward and postprocess (minutes of XLA compile on a
@@ -784,6 +865,8 @@ def make_stream_plan(
     kept only as a documented alternative.  Detection-identical (both
     pinned vs the scipy host reference in tests/test_large.py).
     """
+    if core is None:
+        core = _default_core(spec, window, 128, shape)
     return _StreamPlan(
         spec, variables, shape, core, tile_out, tile_batch, window,
         threshold, max_detections_per_roi, max_components_per_roi, method,
@@ -860,7 +943,9 @@ def detect_streaming(
     """
     if plan is None:
         plan = make_stream_plan(
-            spec, variables, shape, core=128 if core is None else core,
+            spec, variables, shape,
+            core=(_default_core(spec, window, 128, shape)
+                  if core is None else core),
             tile_out=tile_out,
             tile_batch=tile_batch, window=window, threshold=threshold,
             max_detections_per_roi=max_detections_per_roi,
@@ -963,7 +1048,8 @@ def detect_staged(
     if plan is None:
         plan = make_stream_plan(
             spec, variables, np.shape(volume),
-            core=256 if core is None else core,
+            core=(_default_core(spec, window, 256, np.shape(volume))
+                  if core is None else core),
             tile_out=tile_out, tile_batch=tile_batch, window=window,
             threshold=threshold,
             max_detections_per_roi=max_detections_per_roi,

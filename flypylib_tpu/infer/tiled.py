@@ -234,6 +234,23 @@ def infer_volume(
     ).infer(volume, keep_on_device=keep_on_device)
 
 
+def tiling_regime(spec: ModelSpec) -> str:
+    """``"cover"`` (pooling topologies want one big tile) or ``"grid"``
+    (conv stacks want batched small tiles).  From the module topology,
+    overridable via ``spec.metadata["tiling"]``."""
+    regime = spec.metadata.get("tiling")
+    if regime is not None:
+        return regime
+    from flypylib_tpu.models.zoo import UNetValid
+    from flypylib_tpu.ops.packed_unet import PackedUNet
+
+    return (
+        "cover"
+        if isinstance(spec.module, (UNetValid, PackedUNet))
+        else "grid"
+    )
+
+
 def default_tiling(
     spec: ModelSpec, vol_shape, max_tile_in: int = 428
 ) -> tuple[int, int]:
@@ -261,19 +278,9 @@ def default_tiling(
     ``PackedUNet``); custom specs can force it via
     ``metadata["tiling"] = "cover"`` or ``"grid"``.
     """
-    from flypylib_tpu.models.zoo import UNetValid
-    from flypylib_tpu.ops.packed_unet import PackedUNet
-
     dims = to3d(vol_shape)
     ctx = spec.context
-    regime = spec.metadata.get("tiling")
-    if regime is None:
-        regime = (
-            "cover"
-            if isinstance(spec.module, (UNetValid, PackedUNet))
-            else "grid"
-        )
-    if regime == "cover":
+    if tiling_regime(spec) == "cover":
         ext = max(dims)
         if spec.valid_size(ext + 2 * ctx) <= max_tile_in:
             return ext, 1

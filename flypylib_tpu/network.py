@@ -188,7 +188,7 @@ class FplNetwork:
         volume,
         window=5,
         threshold: float = 0.5,
-        core: int = 256,
+        core: int | None = None,
         method: str = "nms",
         staged: bool | None = None,
         **kw,

@@ -477,3 +477,53 @@ def test_streaming_anisotropic_core(model, rng):
     )
     assert len(host) > 0
     assert_same_detections(host, got)
+
+
+def test_pooled_default_core_and_tile(rng):
+    """Pooling topologies get covering-tile streaming defaults: the
+    largest core whose ONE covering tile input stays under the
+    428 compile cap (BENCH_NOTES.md round 3), and detections stay
+    exactly the host reference's."""
+    import jax
+
+    from flypylib_tpu.infer.large import (
+        _default_core,
+        array_reader,
+        make_stream_plan,
+    )
+    from flypylib_tpu.models.zoo import unet
+    from flypylib_tpu.ops.packed_unet import packed_unet_spec
+
+    spec = unet(base_features=2, levels=1, convs_per_stage=1)
+    pspec = packed_unet_spec(spec) or spec
+    core = _default_core(pspec, 5, 256)
+    h = pspec.context + 2
+    tin = pspec.valid_size(core + 2 * h + 2 * pspec.context)
+    assert tin <= 428 and core >= 256
+
+    # a small volume through the pooled defaults: ONE covering tile per
+    # ROI (the plain U-Net spec is pooled too, and keeps the host
+    # reference bit-comparable)
+    variables = spec.init(jax.random.PRNGKey(0))
+    vol = rng.random((36, 36, 36)).astype(np.float32)
+    prob = reference_prob(spec, variables, vol)
+    thr = float(np.quantile(prob, 0.99))
+    plan = make_stream_plan(
+        spec, variables, vol.shape, core=24, window=3, threshold=thr,
+    )
+    roi_extent = max(plan.core_dims) + 2 * plan.h
+    assert plan.pipe._tiled.tile_out >= roi_extent  # covering tile
+    assert plan.pipe._tiled.tile_batch == 1
+    shape, read = array_reader(vol)
+    got = detect_streaming(
+        spec, variables, shape, read, window=3, threshold=thr, plan=plan,
+    )
+    assert_same_detections(nms_host(prob, window=3, threshold=thr), got)
+
+    # HBM-resident path through the same pooled plan
+    from flypylib_tpu.infer.large import detect_staged
+
+    got2 = detect_staged(
+        spec, variables, vol, window=3, threshold=thr, plan=plan,
+    )
+    assert_same_detections(got, got2)
