@@ -318,6 +318,63 @@ def bench_unet(size: int = 384):
     return {"unet_device_resident_mvox_s": vol.size / min(times) / 1e6}
 
 
+def bench_unet_1k(size: int = 1024):
+    """Eval config 4 at the north-star scale [B:10][B:5]: packed U-Net
+    whole-volume predict + NMS + CC at 1k^3 via detect_staged with
+    all-default geometry (cost-aware core, ONE phase-aligned covering
+    tile per ROI, fused method="both" postprocess)."""
+    import jax
+
+    from flypylib_tpu.infer.large import (
+        detect_staged,
+        make_stream_plan,
+        stage_volume_chunked,
+    )
+    from flypylib_tpu.infer.tiled import infer_volume
+    from flypylib_tpu.models.zoo import unet
+    from flypylib_tpu.ops.packed_unet import packed_unet_spec
+
+    spec = unet()
+    pspec = packed_unet_spec(spec) or spec
+    variables = spec.init(
+        jax.random.PRNGKey(0), pspec.valid_size(64 + 2 * pspec.context)
+    )
+    vol = make_volume_u8(size, n_blobs=max(64, size // 8))
+    probe = infer_volume(
+        pspec, variables,
+        vol[:128, :128, :128].astype(np.float32) / 255.0, tile_out=128,
+    )
+    thr = float(np.quantile(probe, 0.9999))
+    common = dict(window=5, threshold=thr, max_detections_per_roi=32768,
+                  max_components_per_roi=32768, method="both")
+    plan = make_stream_plan(pspec, variables, vol.shape, **common)
+
+    t0 = time.perf_counter()
+    staged = stage_volume_chunked(vol, plan=plan)
+    np.asarray(jax.device_get(staged.chunks[-1][:1, :1, :1]))
+    t_up = time.perf_counter() - t0
+
+    grid = plan.grid
+    plan.grid = grid[:1]
+    detect_staged(pspec, variables, vol, staged=staged, plan=plan, **common)
+    plan.grid = grid
+    for _, corner in grid:
+        staged.window(tuple(corner), plan.pipe.padded_shape)
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        nms_det, cc_det = detect_staged(pspec, variables, vol,
+                                        staged=staged, plan=plan, **common)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return {
+        "unet_1k_device_resident_mvox_s": vol.size / dt / 1e6,
+        "unet_1k_mvox_s": vol.size / (t_up + dt) / 1e6,
+        "unet_1k_detections": len(nms_det),
+        "unet_1k_components": len(cc_det),
+    }
+
+
 _CPU_REF_SNIPPET = """
 import json, time
 import numpy as np
@@ -382,7 +439,8 @@ def main():
     except Exception as e:  # keep the headline alive on OOM etc.
         stream = {"streaming_1k_error": str(e)[:200]}
     extras = {}
-    for name, fn in (("train", bench_train), ("unet", bench_unet)):
+    for name, fn in (("train", bench_train), ("unet", bench_unet),
+                     ("unet_1k", bench_unet_1k)):
         try:
             extras.update(fn())
         except Exception as e:
