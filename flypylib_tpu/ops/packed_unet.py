@@ -167,7 +167,24 @@ class PackedUNet:
             )
         return self._forward(variables, x)
 
-    def _forward(self, variables, x):
+    def forward_train(self, variables, x):
+        """Differentiable packed forward (same exact re-association as
+        :meth:`_forward`, f32 logits conv).
+
+        Every engine op is differentiable — pack/unpack are
+        transposes, ``pool_pack`` is max + strided slices (exactly
+        ``nn.max_pool``'s gradient), ``crop_packed`` is slices, and the
+        ConvTranspose/conv weight folds are contractions OF the params
+        done inside the trace, so gradients flow to the original
+        ConvTranspose and Conv kernels.  Only the split-weight bf16
+        logits dot is swapped for the plain f32 conv: its mixed-dtype
+        ``dot_general`` (bf16 operands, f32 accumulation) has no JAX
+        transpose rule — same story as
+        ``PackedConvStack.forward_train``.  UNetValid has no BatchNorm,
+        so no running-stats caveat applies."""
+        return self._forward(variables, x, f32_logits=True)
+
+    def _forward(self, variables, x, f32_logits: bool = False):
         inner = self.inner
         params = variables["params"]
         dt = self.dtype
@@ -254,21 +271,29 @@ class PackedUNet:
 
         # logits 1x1 conv (parity-independent): split-weight bf16 with
         # f32 accumulation (same trick as PackedConvStack — bf16->f32 is
-        # value-exact on activations, only the weight needs two terms)
+        # value-exact on activations, only the weight needs two terms);
+        # the differentiable path (f32_logits) runs the plain f32 dot
+        # instead — the mixed-dtype form has no JAX transpose rule
         wl = params[f"Conv_{conv_i}"]["kernel"].astype(jnp.float32)
         bl = params[f"Conv_{conv_i}"]["bias"].astype(jnp.float32)
         w0 = wl[0, 0, 0]  # (C, 1)
-        w_hi = w0.astype(dt)
-        w_lo = (w0 - w_hi.astype(jnp.float32)).astype(dt)
-        wcat = jnp.concatenate([w_hi, w_lo], axis=-1)  # (C, 2)
         b_, d, h, w_sp, c8 = x.shape
-        xg = x.reshape(b_, d, h, w_sp, 8, c8 // 8)
-        y = jax.lax.dot_general(
-            xg, wcat,
-            (((5,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (B, D, H, W, 8, 2)
-        y = y[..., 0] + y[..., 1] + bl  # (B, D, H, W, 8)
+        if f32_logits:
+            xg = x.reshape(b_, d, h, w_sp, 8, c8 // 8).astype(jnp.float32)
+            y = jax.lax.dot_general(
+                xg, w0, (((5,), (0,)), ((), ()))
+            )[..., 0] + bl  # (B, D, H, W, 8)
+        else:
+            w_hi = w0.astype(dt)
+            w_lo = (w0 - w_hi.astype(jnp.float32)).astype(dt)
+            wcat = jnp.concatenate([w_hi, w_lo], axis=-1)  # (C, 2)
+            xg = x.reshape(b_, d, h, w_sp, 8, c8 // 8)
+            y = jax.lax.dot_general(
+                xg, wcat,
+                (((5,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (B, D, H, W, 8, 2)
+            y = y[..., 0] + y[..., 1] + bl  # (B, D, H, W, 8)
         return unpack_volume(y.reshape(b_, d, h, w_sp, 8 * 1))
 
     def __repr__(self):

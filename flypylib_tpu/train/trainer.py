@@ -43,8 +43,9 @@ class TrainConfig:
     augment: bool = True
     steps_per_epoch: int = 100
     # "plain" runs the Flax module; "packed" differentiates the
-    # space-to-depth engine's forward_train (ConvStack, no BatchNorm) —
-    # same objective up to bf16 rounding (tests/test_packed_conv.py)
+    # space-to-depth engine's forward_train (ConvStack without
+    # BatchNorm, or the valid-conv U-Net) — same objective up to bf16
+    # rounding (tests/test_packed_conv.py, tests/test_packed_unet.py)
     engine: str = "plain"
 
 
@@ -193,14 +194,15 @@ def resolve_train_spec(spec: ModelSpec, cfg: TrainConfig) -> ModelSpec:
     """
     if cfg.engine == "packed":
         from flypylib_tpu.ops.packed_conv import PackedConvStack, packed_spec
+        from flypylib_tpu.ops.packed_unet import PackedUNet, packed_unet_spec
 
-        if isinstance(spec.module, PackedConvStack):
+        if isinstance(spec.module, (PackedConvStack, PackedUNet)):
             return spec
-        pspec = packed_spec(spec)
+        pspec = packed_spec(spec) or packed_unet_spec(spec)
         if pspec is None:
             raise ValueError(
-                f"engine='packed' needs a ConvStack model (got "
-                f"{spec.module!r})"
+                f"engine='packed' needs a ConvStack or UNetValid model "
+                f"(got {spec.module!r})"
             )
         return pspec
     if cfg.engine != "plain":

@@ -106,3 +106,57 @@ def test_pool_pack_matches_transpose_form(rng):
     ref = pack_volume(parity_group_max(x))
     got = pool_pack(x)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_unet_forward_train_matches_plain_and_grads(small_unet, rng):
+    """The differentiable packed U-Net forward (forward_train): same
+    values and same gradients as the plain UNetValid train forward, to
+    accumulation tolerance (exact linear re-association; f32 model
+    makes it tight).  Mirrors the ConvStack test in
+    tests/test_packed_conv.py."""
+    spec, pspec, variables = small_unet
+    s = pspec.min_size
+    x = jnp.asarray(rng.normal(size=(2, s, s, s, 1)).astype(np.float32))
+
+    ref = spec.module.apply(variables, x, train=True)
+    got = pspec.module.forward_train(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(got), rtol=1e-5, atol=1e-5
+    )
+
+    def loss_plain(p):
+        return jnp.mean(
+            spec.module.apply({"params": p}, x, train=True) ** 2
+        )
+
+    def loss_packed(p):
+        return jnp.mean(pspec.module.forward_train({"params": p}, x) ** 2)
+
+    gp = jax.grad(loss_plain)(variables["params"])
+    gq = jax.grad(loss_packed)(variables["params"])
+    for a, b in zip(
+        jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gq)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_unet_packed_engine_trains():
+    """TrainConfig(engine="packed") resolves UNetValid models and the
+    loss decreases (the full on-device sampling + augment + Adam step
+    through the differentiable packed U-Net)."""
+    from flypylib_tpu.train.trainer import TrainConfig, Trainer
+
+    spec = unet(base_features=2, levels=1, convs_per_stage=1,
+                dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    size = 48
+    image = rng.integers(0, 256, (size,) * 3).astype(np.uint8)
+    labels = (rng.random((size,) * 3) > 0.995).astype(np.float32)
+    mask = np.ones((size,) * 3, np.float32)
+    cfg = TrainConfig(patch_size=18, batch_size=4, augment=True,
+                      steps_per_epoch=8, engine="packed")
+    tr = Trainer(spec, cfg, seed=0)
+    hist = tr.fit([image], [labels], [mask], epochs=3)
+    assert hist[-1]["loss"] < hist[0]["loss"]

@@ -229,12 +229,25 @@ def test_packed_engine_matches_plain():
                                    rtol=2e-3, atol=2e-4)
 
 
-def test_packed_engine_rejects_unet():
-    from flypylib_tpu.models.zoo import unet
+def test_packed_engine_rejects_unsupported_module():
+    """engine="packed" accepts ConvStack and UNetValid (the U-Net path
+    is trained end-to-end in tests/test_packed_unet.py) but still
+    refuses arbitrary modules with a clear error."""
+    import flax.linen as nn
+    import jax.numpy as jnp
 
+    from flypylib_tpu.models.zoo import ModelSpec
+
+    class Custom(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Conv(1, (3, 3, 3), padding="VALID",
+                           dtype=jnp.float32)(x)
+
+    spec = ModelSpec(name="custom", module=Custom(), context=1)
     cfg = TrainConfig(engine="packed")
-    with pytest.raises(ValueError, match="ConvStack"):
-        Trainer(unet(), cfg, seed=0).fit(*synthetic_task()[:3])
+    with pytest.raises(ValueError, match="ConvStack or UNetValid"):
+        Trainer(spec, cfg, seed=0).fit(*synthetic_task()[:3])
 
 
 def test_unknown_engine_rejected():
