@@ -187,6 +187,14 @@ def bench_staged_1k(size: int = 1024, core: int = 512):
     # value transfer (CLAUDE.md)
     np.asarray(jax.device_get(staged.chunks[-1][:1, :1, :1]))
     t_up = time.perf_counter() - t0
+    # forward="auto" resolves to the shared whole-volume forward when its
+    # peak-HBM estimate fits (154.6 -> 169.7 Mvox/s at this config —
+    # experiments/shared_fwd_ab.py); record which mode actually ran
+    fwd_mode = (
+        "shared"
+        if plan.shared_auto(sum(c.nbytes for c in staged.chunks))
+        else "roi"
+    )
 
     # compile warm-up: one ROI through the shared plan, then every ROI
     # window-assembly signature (tiny pad/concat executables)
@@ -232,6 +240,7 @@ def bench_staged_1k(size: int = 1024, core: int = 512):
         "streaming_1k_overlap_seconds": t_e2e,
         "device_resident_1k_seconds": dt,
         "device_resident_1k_seconds_all": [round(t, 3) for t in times],
+        "streaming_1k_forward_mode": fwd_mode,
         "streaming_1k_detections": len(nms_det),
         "streaming_1k_components": len(cc_det),
     }
@@ -367,9 +376,15 @@ def bench_unet_1k(size: int = 1024):
                                         staged=staged, plan=plan, **common)
         times.append(time.perf_counter() - t0)
     dt = min(times)
+    fwd_mode = (
+        "shared"
+        if plan.shared_auto(sum(c.nbytes for c in staged.chunks))
+        else "roi"
+    )
     return {
         "unet_1k_device_resident_mvox_s": vol.size / dt / 1e6,
         "unet_1k_mvox_s": vol.size / (t_up + dt) / 1e6,
+        "unet_1k_forward_mode": fwd_mode,
         "unet_1k_detections": len(nms_det),
         "unet_1k_components": len(cc_det),
     }

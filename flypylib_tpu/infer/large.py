@@ -131,6 +131,13 @@ def _default_tile(
     return extent  # degenerate (extent < size_multiple): nothing to split
 
 
+@functools.partial(jax.jit, static_argnames=("size",))
+def _slice_window(big, start, size):
+    """Device slice of one (tin, py, px) slab window from a monolithic
+    staged volume (shared-forward mode)."""
+    return lax.dynamic_slice(big, (start[0], start[1], start[2]), size)
+
+
 class _StreamPlan:
     """Shared geometry + per-ROI postprocess/merge engine for the
     streaming paths (host-read :func:`detect_streaming` and HBM-resident
@@ -242,6 +249,7 @@ class _StreamPlan:
             run_cc=False, pre_padded=True,
         )
         self.K = max_components_per_roi
+        self._nms_K = max_detections_per_roi  # shared-mode NMS slots
         self.F = 8192  # sparse-face slots per ROI face (grows on retry)
         # sparse-CC candidate slots per ROI (grows on retry); sized so
         # the steady-state wire cost stays ~0.5 MB/ROI
@@ -267,20 +275,57 @@ class _StreamPlan:
         ]
         return lo_want, vlo, vhi
 
-    def _cc_fn(self, K: int, F: int):
-        try:
-            return self._cc_cache[(K, F)]
-        except (AttributeError, KeyError):
-            pass
+    def _cc_core_export(self, corep, thr, K: int, F: int):
+        """Traced device-CC body shared by the per-ROI and shared-forward
+        extractors: label the (cz, cy, cx) core box, export compacted
+        component stats plus sparse boundary-face labels."""
         from flypylib_tpu.ops.components import (
             cc_label_and_extract,
             compact_true_indices,
         )
 
+        cz, cy, cx = self.core_dims
+        sentinel = cz * cy * cx
+        uniq, sums, count, conf, valid, over_k, lab = (
+            cc_label_and_extract(corep, thr, K)
+        )
+        # sparse face export: a 512^2 label plane is megabytes on
+        # the tunnel per ROI, but only labeled (above-threshold)
+        # face voxels can seam-merge — ship (position, label) pairs
+        # compacted to F slots per face; face overflow gets its OWN
+        # retry flag so a K-only overflow doesn't inflate F
+        over_f = jnp.bool_(False)
+        faces = []
+        for plane in (
+            lab[0], lab[cz - 1],
+            lab[:, 0], lab[:, cy - 1],
+            lab[:, :, 0], lab[:, :, cx - 1],
+        ):
+            flat = plane.reshape(-1)
+            m = flat < sentinel
+            fcap = min(F, flat.shape[0])
+            idx = compact_true_indices(m, fcap)
+            v = idx < flat.shape[0]
+            labs = jnp.where(
+                v,
+                flat[jnp.minimum(idx, flat.shape[0] - 1)],
+                sentinel,
+            )
+            if fcap < flat.shape[0]:
+                over_f = over_f | (
+                    jnp.sum(m, dtype=jnp.int32) > fcap
+                )
+            faces.append((idx, labs))
+        return uniq, sums, count, conf, valid, over_k, over_f, faces
+
+    def _cc_fn(self, K: int, F: int):
+        try:
+            return self._cc_cache[(K, F)]
+        except (AttributeError, KeyError):
+            pass
         vz, vy, vx = self.pipe.vol_shape
         h = self.h
         cz, cy, cx = self.core_dims
-        sentinel = cz * cy * cx
 
         @jax.jit
         def f(out, vlo, vhi, thr):
@@ -291,37 +336,7 @@ class _StreamPlan:
             corep = jax.lax.slice(
                 prob, (h, h, h), (h + cz, h + cy, h + cx)
             )
-            uniq, sums, count, conf, valid, over_k, lab = (
-                cc_label_and_extract(corep, thr, K)
-            )
-            # sparse face export: a 512^2 label plane is megabytes on
-            # the tunnel per ROI, but only labeled (above-threshold)
-            # face voxels can seam-merge — ship (position, label) pairs
-            # compacted to F slots per face; face overflow gets its OWN
-            # retry flag so a K-only overflow doesn't inflate F
-            over_f = jnp.bool_(False)
-            faces = []
-            for plane in (
-                lab[0], lab[cz - 1],
-                lab[:, 0], lab[:, cy - 1],
-                lab[:, :, 0], lab[:, :, cx - 1],
-            ):
-                flat = plane.reshape(-1)
-                m = flat < sentinel
-                fcap = min(F, flat.shape[0])
-                idx = compact_true_indices(m, fcap)
-                v = idx < flat.shape[0]
-                labs = jnp.where(
-                    v,
-                    flat[jnp.minimum(idx, flat.shape[0] - 1)],
-                    sentinel,
-                )
-                if fcap < flat.shape[0]:
-                    over_f = over_f | (
-                        jnp.sum(m, dtype=jnp.int32) > fcap
-                    )
-                faces.append((idx, labs))
-            return uniq, sums, count, conf, valid, over_k, over_f, faces
+            return self._cc_core_export(corep, thr, K, F)
 
         cache = getattr(self, "_cc_cache", None)
         if cache is None:
@@ -504,6 +519,470 @@ class _StreamPlan:
         cache[(C, impl)] = f
         return f
 
+    # ---- shared whole-volume forward mode --------------------------------
+    #
+    # detect_staged's per-ROI forwards recompute each ROI's NMS-halo shell
+    # ((core+2h)^3 / core^3 = 1.10x at core 512 for conv stacks) and, for
+    # pooling models, pay covering-tile redundancy per ROI (2.5x at 1k^3).
+    # When the volume fits an HBM budget, forward the WHOLE volume once
+    # (one cost-optimal tile grid — monolithic semantics by the pinned
+    # tiled==monolithic invariant), pad the prob map with a -inf shell
+    # (exactly mask_valid_region's out-of-volume rule, applied once), and
+    # run each ROI's postprocess as a traced-corner window over the shared
+    # map.  Detections match the per-ROI mode / host reference exactly
+    # (f32; test-pinned) — forward redundancy just disappears.
+
+    # measured activation high-water of the packed U-Net forward per
+    # input voxel (AOT memory_analysis: 8.33 GiB temp at a 388^3 tile —
+    # experiments/shared_unet_mem2.py); sizes the shared grid's tile cap
+    # for cover-regime models.  Override per plan for custom models.
+    act_bytes_per_voxel: float = 153.0
+
+    def full_pipe(self, staged_bytes: int | None = None) -> DetectPipeline:
+        """Whole-volume forward pipeline for the shared mode (lazy, one
+        per plan; postprocess is never compiled on it).
+
+        ``staged_bytes`` is accepted for call-site symmetry with
+        :meth:`shared_auto` but does NOT shrink the grid tile: cover
+        grids use only the natural (compile-cap-bounded) min-cost tile.
+        Memory-squeezing the tile would wander onto untested Mosaic
+        codegen shapes (tin 300 reproducibly CRASHES the TPU worker —
+        BENCH_NOTES.md round 4); when the natural grid's activations
+        don't fit, :meth:`shared_auto` falls back to the roi mode
+        instead."""
+        fp = getattr(self, "_fp", None)
+        if fp is None:
+            from flypylib_tpu.infer.tiled import (
+                grid_tiling_min_cost,
+                tiling_regime,
+            )
+
+            spec = self.pipe.spec
+            cover = tiling_regime(spec) == "cover"
+            if cover:
+                t_out, t_batch = grid_tiling_min_cost(spec, self.shape)
+            else:
+                ext = max(self.shape)
+                t_out = _default_tile(ext, spec)
+                t_batch = min(16, max(1, (ext // t_out) ** 2))
+            fp = self._fp = DetectPipeline(
+                spec, self.pipe.variables, vol_shape=self.shape,
+                tile_out=t_out, tile_batch=t_batch, window=self.window,
+                threshold=self.threshold, max_detections=1,
+                run_cc=False, pre_padded=True,
+                # packed pooling models: keep the pack/unpack relayouts
+                # out of the multi-tile executables (split_write in
+                # pipeline.py) — and bound per-dispatch footprints
+                split_write=cover,
+            )
+        return fp
+
+    def _shell_ext(self):
+        """Per-axis high-side -inf slack so every ROI window slice of the
+        shell stays in bounds (the last ROI's core box may overhang a
+        non-divisible volume)."""
+        return [
+            max(
+                0,
+                max(c[d] for _, c in self.grid) + self.core_dims[d] - s,
+            )
+            for d, s in enumerate(self.shape)
+        ]
+
+    def _shell_shape(self):
+        """Shell dims: volume + h low halo + max(h + ROI-overhang slack,
+        forward grid extension) high side — big enough for both every
+        ROI window slice and the forward's direct in-shell tile writes
+        (grid-extension tiles land inside and are re-masked to -inf)."""
+        h = self.h
+        os_ = self.full_pipe()._out_shape
+        return tuple(
+            max(s + 2 * h + e, h + o)
+            for s, e, o in zip(self.shape, self._shell_ext(), os_)
+        )
+
+    def _shell_init_fn(self):
+        f = getattr(self, "_shell_init_jit", None)
+        if f is None:
+            shp = self._shell_shape()
+
+            @jax.jit
+            def f():
+                return jnp.full(shp, -jnp.inf, jnp.float32)
+
+            self._shell_init_jit = f
+        return f
+
+    def _shell_mask_fn(self):
+        """Donated in-place pass restoring -inf outside the true volume
+        (the forward writes grid-extension/overhang tiles into the shell;
+        their voxels are out-of-volume and must not become candidates —
+        the same rule mask_valid_region applies per ROI, applied once)."""
+        f = getattr(self, "_shell_mask_jit", None)
+        if f is None:
+            h = self.h
+            vz, vy, vx = self.shape
+            shp = self._shell_shape()
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def f(shell):
+                zz = lax.broadcasted_iota(jnp.int32, shp, 0)
+                yy = lax.broadcasted_iota(jnp.int32, shp, 1)
+                xx = lax.broadcasted_iota(jnp.int32, shp, 2)
+                inb = (
+                    (zz >= h) & (zz < h + vz)
+                    & (yy >= h) & (yy < h + vy)
+                    & (xx >= h) & (xx < h + vx)
+                )
+                return jnp.where(inb, shell, -jnp.inf)
+
+            self._shell_mask_jit = f
+        return f
+
+    def shared_prob(self, staged) -> jax.Array:
+        """Forward the whole volume once from a staged upload (either
+        form) straight INTO the -inf-shelled shared probability map (the
+        shell is allocated first and donated through the slab writes, so
+        the raw prob map and the shell never coexist in HBM — at 1k^3
+        that is ~4.5 GB of peak headroom, the margin that lets the
+        U-Net's tin-388 covering grid fit).
+
+        Chunk-staged volumes keep their upload/compute overlap: each
+        z-slab window is device-assembled from only the chunks it covers,
+        so early slabs forward while later chunks are still on the wire."""
+        fp = self.full_pipe()
+        ctx = self.ctx
+        tin = fp._tin
+        _, py, px = fp.padded_shape
+        if isinstance(staged, _StagedChunks):
+            off = staged.halo - ctx
+            if off < 0:
+                raise ValueError(
+                    f"staged halo {staged.halo} < context {ctx}"
+                )
+            fetch = staged.window
+        else:
+            big, halo = staged
+            off = halo - ctx
+            if off < 0:
+                raise ValueError(f"staged halo {halo} < context {ctx}")
+            z_top = max(zs for zs, _ in fp._slabs) + tin
+            pad_hi = [
+                max(0, off + p - s)
+                for p, s in zip((z_top, py, px), big.shape)
+            ]
+            if any(pad_hi):
+                # zero extension feeds only prob voxels outside the true
+                # volume — all -inf'd by the shell before any use
+                big = jnp.pad(big, [(0, p) for p in pad_hi])
+
+            def fetch(start, size, b=big):
+                return _slice_window(
+                    b, jnp.asarray(start, jnp.int32), size=tuple(size)
+                )
+
+        slab_for = lambda zs: fetch(  # noqa: E731
+            (off + zs, off, off), (tin, py, px)
+        )
+        # split-write mode fetches per-tile windows (bounded footprint)
+        tile_for = (
+            (lambda zs, c: fetch(
+                (off + zs + int(c[0]), off + int(c[1]), off + int(c[2])),
+                (tin, tin, tin),
+            ))
+            if fp._split_write
+            else None
+        )
+        h = self.h
+        shell = fp.forward_slabs(
+            slab_for, out=self._shell_init_fn()(), offset=(h, h, h),
+            tile_for=tile_for,
+        )
+        return self._shell_mask_fn()(shell)
+
+    def shared_auto(self, staged_bytes: int) -> bool:
+        """True when the shared forward's peak HBM (the -inf shell the
+        tiles write into + forward activations + the staged volume) fits
+        the chip budget."""
+        from flypylib_tpu.infer.tiled import tiling_regime
+
+        fp = self.full_pipe(staged_bytes=int(staged_bytes))
+        shell = 4 * int(np.prod(self._shell_shape()))
+        if tiling_regime(self.pipe.spec) == "cover":
+            # split-write forward: the grid tile was SIZED to fit by
+            # full_pipe's act-model budget — mirror that arithmetic
+            # (same bpv, same slack, same 15.25 GiB usable), so the
+            # gate rejects only volumes whose shell + staged bytes
+            # alone bust the chip (measured fitting at 1k^3 uint8:
+            # 14.4 GiB modeled peak, ran at 66.1 Mvox/s)
+            act = int(self.act_bytes_per_voxel * fp._tin**3)
+            # ... and only go shared when the capped grid actually cuts
+            # conv voxels vs the per-ROI sweep — a memory-squeezed grid
+            # that merely matches roi cost is all risk (smaller tiles
+            # can land on untested Mosaic codegen shapes; tin 300
+            # crashed the worker) and no reward
+            n_sh = sum(
+                local.shape[0] * local.shape[1] for _, local in fp._slabs
+            )
+            n_roi = sum(
+                local.shape[0] * local.shape[1]
+                for _, local in self.pipe._slabs
+            )
+            cost_sh = n_sh * fp._tin**3
+            cost_roi = len(self.grid) * n_roi * self.pipe._tin**3
+            if cost_sh > 0.85 * cost_roi:
+                return False
+        else:
+            # conv stacks chunk stage-A activations to ~1.5 GB
+            act = 2 << 30
+        peak = shell + act + int(staged_bytes) + (1 << 29)
+        return peak <= (61 << 28)  # 15.25 GiB of the 16 GB chip
+
+    def _fused_shared_fn(self, C: int):
+        """Fused NMS + sparse-CC postprocess over a traced-corner window
+        of the shared shell (no masking needed: out-of-volume voxels are
+        -inf in the shell itself — same rule, applied once)."""
+        try:
+            return self._fused_shared_cache[C]
+        except (AttributeError, KeyError):
+            pass
+        from flypylib_tpu.ops.components import compact_true_indices
+        from flypylib_tpu.ops.nms import max_filter
+
+        h = self.h
+        cz, cy, cx = self.core_dims
+        n = cz * cy * cx
+        win = self.window
+        lo_ext = [w // 2 for w in win]
+        hi_ext = [w - 1 - w // 2 for w in win]
+        sub_shape = (
+            cz + lo_ext[0] + hi_ext[0],
+            cy + lo_ext[1] + hi_ext[1],
+            cx + lo_ext[2] + hi_ext[2],
+        )
+
+        @jax.jit
+        def f(shell, corner, thr):
+            sub = lax.dynamic_slice(
+                shell,
+                (
+                    corner[0] + h - lo_ext[0],
+                    corner[1] + h - lo_ext[1],
+                    corner[2] + h - lo_ext[2],
+                ),
+                sub_shape,
+            )
+            mf = max_filter(sub, win)
+            cand = (sub == mf) & (sub >= thr)
+            cand_core = lax.slice(
+                cand, tuple(lo_ext),
+                (lo_ext[0] + cz, lo_ext[1] + cy, lo_ext[2] + cx),
+            ).reshape(-1)
+            corep = lax.slice(
+                sub, tuple(lo_ext),
+                (lo_ext[0] + cz, lo_ext[1] + cy, lo_ext[2] + cx),
+            ).reshape(-1)
+            m = corep >= thr
+            cap = min(C, n)
+            idx = compact_true_indices(m, cap)
+            v = idx < n
+            safe = jnp.minimum(idx, n - 1)
+            probs = jnp.where(v, corep[safe], -jnp.inf)
+            is_max = jnp.where(v, cand_core[safe], False)
+            over = jnp.sum(m, dtype=jnp.int32) > cap
+            return idx, probs, is_max, over
+
+        cache = getattr(self, "_fused_shared_cache", None)
+        if cache is None:
+            cache = self._fused_shared_cache = {}
+        cache[C] = f
+        return f
+
+    def _nms_shared_fn(self, K: int):
+        """NMS-only postprocess over a shared-shell window: compacts the
+        (local max AND >= thr) core candidates to K slots."""
+        try:
+            return self._nms_shared_cache[K]
+        except (AttributeError, KeyError):
+            pass
+        from flypylib_tpu.ops.components import compact_true_indices
+        from flypylib_tpu.ops.nms import max_filter
+
+        h = self.h
+        cz, cy, cx = self.core_dims
+        n = cz * cy * cx
+        win = self.window
+        lo_ext = [w // 2 for w in win]
+        hi_ext = [w - 1 - w // 2 for w in win]
+        sub_shape = (
+            cz + lo_ext[0] + hi_ext[0],
+            cy + lo_ext[1] + hi_ext[1],
+            cx + lo_ext[2] + hi_ext[2],
+        )
+
+        @jax.jit
+        def f(shell, corner, thr):
+            sub = lax.dynamic_slice(
+                shell,
+                (
+                    corner[0] + h - lo_ext[0],
+                    corner[1] + h - lo_ext[1],
+                    corner[2] + h - lo_ext[2],
+                ),
+                sub_shape,
+            )
+            mf = max_filter(sub, win)
+            cand = (sub == mf) & (sub >= thr)
+            cand_core = lax.slice(
+                cand, tuple(lo_ext),
+                (lo_ext[0] + cz, lo_ext[1] + cy, lo_ext[2] + cx),
+            ).reshape(-1)
+            corep = lax.slice(
+                sub, tuple(lo_ext),
+                (lo_ext[0] + cz, lo_ext[1] + cy, lo_ext[2] + cx),
+            ).reshape(-1)
+            cap = min(K, n)
+            idx = compact_true_indices(cand_core, cap)
+            v = idx < n
+            safe = jnp.minimum(idx, n - 1)
+            conf = jnp.where(v, corep[safe], -jnp.inf)
+            over = jnp.sum(cand_core, dtype=jnp.int32) > cap
+            return idx, conf, over
+
+        cache = getattr(self, "_nms_shared_cache", None)
+        if cache is None:
+            cache = self._nms_shared_cache = {}
+        cache[K] = f
+        return f
+
+    def _cc_sparse_shared_fn(self, C: int):
+        """Sparse-CC candidate compaction over a shared-shell core box."""
+        try:
+            return self._cc_sparse_shared_cache[C]
+        except (AttributeError, KeyError):
+            pass
+        from flypylib_tpu.ops.components import compact_true_indices
+
+        h = self.h
+        cz, cy, cx = self.core_dims
+        n = cz * cy * cx
+
+        @jax.jit
+        def f(shell, corner, thr):
+            corep = lax.dynamic_slice(
+                shell,
+                (corner[0] + h, corner[1] + h, corner[2] + h),
+                (cz, cy, cx),
+            ).reshape(-1)
+            m = corep >= thr
+            cap = min(C, n)
+            idx = compact_true_indices(m, cap)
+            v = idx < n
+            probs = jnp.where(
+                v, corep[jnp.minimum(idx, n - 1)], -jnp.inf
+            )
+            over = jnp.sum(m, dtype=jnp.int32) > cap
+            return idx, probs, over
+
+        cache = getattr(self, "_cc_sparse_shared_cache", None)
+        if cache is None:
+            cache = self._cc_sparse_shared_cache = {}
+        cache[C] = f
+        return f
+
+    def _cc_shared_fn(self, K: int, F: int):
+        """Device-CC label/extract over a shared-shell core box (same
+        export body as the per-ROI extractor)."""
+        try:
+            return self._cc_shared_cache[(K, F)]
+        except (AttributeError, KeyError):
+            pass
+        h = self.h
+        cz, cy, cx = self.core_dims
+
+        @jax.jit
+        def f(shell, corner, thr):
+            corep = lax.dynamic_slice(
+                shell,
+                (corner[0] + h, corner[1] + h, corner[2] + h),
+                (cz, cy, cx),
+            )
+            return self._cc_core_export(corep, thr, K, F)
+
+        cache = getattr(self, "_cc_shared_cache", None)
+        if cache is None:
+            cache = self._cc_shared_cache = {}
+        cache[(K, F)] = f
+        return f
+
+    def _dispatch_shared(self, key, corner, shell):
+        cj = jnp.asarray(corner, jnp.int32)
+        thr_j = jnp.float32(self.threshold)
+        rec = {
+            "key": key, "corner": corner, "lo_want": None, "out": None,
+        }
+        fused = (
+            self.want_nms and self.want_cc and self.cc_impl == "sparse"
+            and getattr(self, "fuse_sparse", True)
+            # the "nbr" fused impl is window-relative; shared mode falls
+            # back to the (detection-identical) unfused dispatch pair
+            and self.fused_impl == "filter"
+        )
+        res_all = []
+        if fused:
+            rerun = lambda C: self._fused_shared_fn(C)(  # noqa: E731
+                shell, cj, thr_j
+            )
+            rec["fused"] = rerun(self.C)
+            rec["cc_C"] = self.C
+            rec["rerun"] = rerun
+            res_all.append(rec["fused"])
+        else:
+            if self.want_nms:
+                rerun_n = lambda K: self._nms_shared_fn(K)(  # noqa: E731
+                    shell, cj, thr_j
+                )
+                rec["nms_sh"] = rerun_n(self._nms_K)
+                rec["nms_K"] = self._nms_K
+                rec["rerun_nms"] = rerun_n
+                res_all.append(rec["nms_sh"])
+            if self.want_cc:
+                if self.cc_impl == "sparse":
+                    rerun_c = lambda C: (  # noqa: E731
+                        self._cc_sparse_shared_fn(C)(shell, cj, thr_j)
+                    )
+                    rec["cc"] = rerun_c(self.C)
+                    rec["cc_C"] = self.C
+                else:
+                    rerun_c = lambda K, F: (  # noqa: E731
+                        self._cc_shared_fn(K, F)(shell, cj, thr_j)
+                    )
+                    rec["cc"] = rerun_c(self.K, self.F)
+                    rec["cc_KF"] = (self.K, self.F)
+                rec["rerun_cc"] = rerun_c
+                res_all.append(rec["cc"])
+        for leaf in jax.tree.leaves(res_all):
+            leaf.copy_to_host_async()
+        return rec
+
+    def consume_shared(self, shell, progress=None):
+        """Per-ROI postprocess sweep over the shared shell — same
+        dispatch-ahead pipelining and merge as :meth:`consume`, but the
+        in-flight buffers are tiny result arrays, not prob maps."""
+        from collections import deque
+
+        self._all_locs, self._all_conf = [], []
+        self._cc_rois = {}
+        window = max(self.pipeline_window, 8)
+        pend: deque = deque()
+        for key, corner in self.grid:
+            pend.append(self._dispatch_shared(key, corner, shell))
+            if len(pend) >= window:
+                self._collect(pend.popleft(), progress)
+        while pend:
+            self._collect(pend.popleft(), progress)
+        return self._finalize()
+
     def _dense_faces(self, faces):
         """Rebuild dense face label planes from the sparse export (host
         side; merge_component_fragments consumes dense planes)."""
@@ -557,43 +1036,50 @@ class _StreamPlan:
             "key": key, "corner": corner, "lo_want": lo_want,
             "vlo": vlo, "vhi": vhi, "out": out,
         }
+        lo_j = jnp.asarray(vlo, jnp.int32)
+        hi_j = jnp.asarray(vhi, jnp.int32)
+        thr_j = jnp.float32(self.threshold)
         fused = (
             self.want_nms and self.want_cc and self.cc_impl == "sparse"
             and getattr(self, "fuse_sparse", True)  # A/B escape hatch
         )
         if fused:
-            res = self._fused_sparse_fn(self.C)(
-                out, jnp.asarray(vlo, jnp.int32),
-                jnp.asarray(vhi, jnp.int32), jnp.float32(self.threshold),
+            # the rerun closure holds the prob-map reference, so a
+            # saturation grow-and-retry reruns only the postprocess
+            rerun = lambda C: self._fused_sparse_fn(C)(  # noqa: E731
+                out, lo_j, hi_j, thr_j
             )
+            res = rerun(self.C)
             for leaf in jax.tree.leaves(res):
                 leaf.copy_to_host_async()
             rec["fused"] = res
             rec["cc_C"] = self.C
+            rec["rerun"] = rerun
             return rec
         if self.want_nms:
             rec["nms"] = self.pipe.postprocess_start(out, vlo, vhi)
         if self.want_cc:
-            lo_j = jnp.asarray(vlo, jnp.int32)
-            hi_j = jnp.asarray(vhi, jnp.int32)
             if self.cc_impl == "sparse":
-                cc = self._cc_sparse_fn(self.C)(
-                    out, lo_j, hi_j, jnp.float32(self.threshold)
+                rerun = lambda C: self._cc_sparse_fn(C)(  # noqa: E731
+                    out, lo_j, hi_j, thr_j
                 )
+                cc = rerun(self.C)
                 rec["cc_C"] = self.C
             else:
-                cc = self._cc_fn(self.K, self.F)(
-                    out, lo_j, hi_j, jnp.float32(self.threshold)
+                rerun = lambda K, F: self._cc_fn(K, F)(  # noqa: E731
+                    out, lo_j, hi_j, thr_j
                 )
+                cc = rerun(self.K, self.F)
                 rec["cc_KF"] = (self.K, self.F)
             for leaf in jax.tree.leaves(cc):
                 leaf.copy_to_host_async()
             rec["cc"] = cc
+            rec["rerun_cc"] = rerun
         return rec
 
     def _collect(self, rec, progress):
         key, corner = rec["key"], rec["corner"]
-        lo_want, vlo, vhi = rec["lo_want"], rec["vlo"], rec["vhi"]
+        lo_want = rec["lo_want"]
         out = rec.pop("out")  # held so retries rerun post, not forward
         provider = lambda: out  # noqa: E731
         core_dims, shape, ctx = self.core_dims, self.shape, self.ctx
@@ -606,11 +1092,7 @@ class _StreamPlan:
                     break
                 C *= 4
                 self.C = max(self.C, C)  # later ROIs reuse the size
-                res = self._fused_sparse_fn(C)(
-                    provider(), jnp.asarray(vlo, jnp.int32),
-                    jnp.asarray(vhi, jnp.int32),
-                    jnp.float32(self.threshold),
-                )
+                res = rec["rerun"](C)
             cz, cy, cx = core_dims
             n = cz * cy * cx
             idx = np.asarray(idx, np.int64)
@@ -635,7 +1117,34 @@ class _StreamPlan:
             if progress:
                 progress(corner, n_own)
             return
-        if self.want_nms:
+        if "nms_sh" in rec:
+            # shared-forward NMS: candidates were compacted over the core
+            # on device (ownership by construction — out-of-volume shell
+            # voxels are -inf and can't be candidates)
+            K, res = rec["nms_K"], rec["nms_sh"]
+            while True:
+                idx, conf, over = jax.device_get(res)
+                if not bool(over):
+                    break
+                K *= 4
+                self._nms_K = max(self._nms_K, K)
+                res = rec["rerun_nms"](K)
+            cz, cy, cx = core_dims
+            n = cz * cy * cx
+            idx = np.asarray(idx, np.int64)
+            v = idx < n
+            idx = idx[v]
+            conf = np.asarray(conf)[v]
+            gz = idx // (cy * cx) + corner[0]
+            rem = idx % (cy * cx)
+            gy = rem // cx + corner[1]
+            gx = rem % cx + corner[2]
+            self._all_locs.append(
+                np.stack([gz, gy, gx], axis=1).astype(np.float64)
+            )
+            self._all_conf.append(conf)
+            n_own = int(v.sum())
+        if "nms" in rec:
             # grow-and-retry via ``provider`` on saturation, so the
             # per-ROI list is always complete
             nms_det, _ = self.pipe.postprocess_finish(rec["nms"], provider)
@@ -657,7 +1166,7 @@ class _StreamPlan:
             self._all_locs.append(glob[own])
             self._all_conf.append(nms_det.conf[own])
             n_own = int(own.sum())
-        if self.want_cc and self.cc_impl == "sparse":
+        if "cc" in rec and self.cc_impl == "sparse":
             C, res = rec["cc_C"], rec["cc"]
             while True:
                 idx, probs, over = jax.device_get(res)
@@ -665,11 +1174,7 @@ class _StreamPlan:
                     break
                 C *= 4
                 self.C = max(self.C, C)  # later ROIs reuse the size
-                res = self._cc_sparse_fn(C)(
-                    provider(), jnp.asarray(vlo, jnp.int32),
-                    jnp.asarray(vhi, jnp.int32),
-                    jnp.float32(self.threshold),
-                )
+                res = rec["rerun_cc"](C)
             cz, cy, cx = self.core_dims
             n = cz * cy * cx
             idx = np.asarray(idx, np.int64)
@@ -686,7 +1191,7 @@ class _StreamPlan:
                 "gflat": (gz * vy_g + gy) * vx_g + gx,
                 "prob": probs,
             }
-        elif self.want_cc:
+        elif "cc" in rec:
             (K, F), res = rec["cc_KF"], rec["cc"]
             while True:
                 # ONE bulk device->host transfer per ROI (each array
@@ -704,11 +1209,7 @@ class _StreamPlan:
                 if bool(over_f):
                     F *= 4
                     self.F = max(self.F, F)
-                res = self._cc_fn(K, F)(
-                    provider(), jnp.asarray(vlo, jnp.int32),
-                    jnp.asarray(vhi, jnp.int32),
-                    jnp.float32(self.threshold),
-                )
+                res = rec["rerun_cc"](K, F)
             sums = np.asarray(sums, np.float64)
             count = np.asarray(count, np.float64)
             # globalize coordinate sums by the core's corner
@@ -1023,6 +1524,7 @@ def detect_staged(
     staged=None,
     plan: "_StreamPlan | None" = None,
     devices=None,
+    forward: str = "auto",
 ):
     """HBM-resident streaming detection: the whole volume is staged on
     device ONCE (uint8 stays uint8 — 4x cheaper on the wire), then every
@@ -1037,6 +1539,24 @@ def detect_staged(
     compiled engine — e.g. threshold sweeps on the same volume recompile
     and re-upload nothing.
 
+    ``forward`` selects how probability maps are produced:
+
+    * ``"roi"`` — each ROI runs its own halo-padded forward (bounded
+      HBM; the only mode that composes with ``devices``);
+    * ``"shared"`` — the WHOLE volume forwards once through a
+      cost-optimal tile grid, writing straight into the -inf-shelled
+      shared map, and every ROI's postprocess is a traced window over
+      it.  Removes the per-ROI forward redundancy (halo shells for conv
+      stacks, covering-tile overlap for pooling models — 2.5x at 1k^3
+      for the U-Net; measured 154.6 -> 169.7 Mvox/s at the 1k^3 conv
+      stack — experiments/shared_fwd_ab.py) at the cost of holding the
+      full shelled prob map in HBM;
+    * ``"auto"`` (default) — ``"shared"`` when the peak-HBM estimate
+      fits the chip (:meth:`_StreamPlan.shared_auto`), else ``"roi"``.
+
+    Detections are identical across modes (same monolithic semantics;
+    pinned by tests/test_large.py::test_staged_shared_forward_*).
+
     ``devices`` (e.g. ``jax.local_devices()``) fans the ROI sweep over
     several local chips: the staged volume and params are replicated per
     device and ROIs round-robin across them (eval config 5's
@@ -1045,6 +1565,8 @@ def detect_staged(
     are bit-identical to the single-device sweep
     (tests/test_large.py::test_staged_multi_device_bit_identical).
     """
+    if forward not in ("roi", "shared", "auto"):
+        raise ValueError(f"unknown forward mode {forward!r}")
     if plan is None:
         plan = make_stream_plan(
             spec, variables, np.shape(volume),
@@ -1061,13 +1583,39 @@ def detect_staged(
                            threshold, cc_impl, core, tile_out, tile_batch)
     if staged is None:
         staged = stage_volume(volume, plan=plan)
+    multi = devices is not None and len(devices) > 1
+    if forward == "shared" and multi:
+        raise ValueError(
+            "forward='shared' is single-device; use forward='roi' with "
+            "devices= (or drop devices=)"
+        )
+    if forward == "shared" or (
+        forward == "auto"
+        and not multi
+        and plan.shared_auto(
+            sum(c.nbytes for c in staged.chunks)
+            if isinstance(staged, _StagedChunks)
+            else staged[0].nbytes
+        )
+    ):
+        halo = (
+            staged.halo
+            if isinstance(staged, _StagedChunks)
+            else staged[1]
+        )
+        if halo < plan.fetch_halo:
+            raise ValueError(
+                f"staged halo {halo} < required {plan.fetch_halo} "
+                "(stage with the same window/method)"
+            )
+        return plan.consume_shared(plan.shared_prob(staged), progress)
     if isinstance(staged, _StagedChunks):
         if staged.halo < plan.fetch_halo:
             raise ValueError(
                 f"staged halo {staged.halo} < required {plan.fetch_halo} "
                 "(stage_volume_chunked with the same window/method)"
             )
-        if devices is not None and len(devices) > 1:
+        if multi:
             # multi-device fan-out replicates the monolithic volume
             staged = staged.assemble_full()
         else:
@@ -1094,7 +1642,7 @@ def detect_staged(
     if any(pad_hi):
         big = jnp.pad(big, [(0, p) for p in pad_hi])
 
-    if devices is not None and len(devices) > 1:
+    if multi:
         return _detect_staged_multi(plan, big, off, devices, progress)
 
     def outs():

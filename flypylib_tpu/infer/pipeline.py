@@ -47,6 +47,11 @@ class _StagedRaw:
         self.chunks = chunks
 
 
+def _zoff(zs: int) -> jax.Array:
+    """(zs, 0, 0) write-offset vector for the plain (non-shell) output."""
+    return jnp.asarray((zs, 0, 0), jnp.int32)
+
+
 def _extract_candidates(prob, mask, max_detections):
     """First-k candidates in flat-index order via cumsum compaction —
     ~2.5x cheaper than a full-volume lax.top_k at 256^3 (the caller
@@ -91,6 +96,7 @@ class DetectPipeline:
         run_cc: bool = True,
         pre_padded: bool = False,
         two_phase: bool | None = None,
+        split_write: bool = False,
     ):
         from flypylib_tpu.infer.tiled import TiledInference
         from flypylib_tpu.ops.components import components_device
@@ -152,8 +158,11 @@ class DetectPipeline:
         else:
             self._scatter_grid = None
 
-        def write_tiles(out, probs, corner_batch, z_off):
-            """Stitch one tile batch into the output map."""
+        def write_tiles(out, probs, corner_batch, off):
+            """Stitch one tile batch into the output map at write offset
+            ``off`` (a traced (3,) vector: the slab's z start, plus the
+            shell origin when writing straight into a shared -inf shell
+            — see :meth:`forward_slabs`)."""
             if self._scatter_grid is not None:
                 rows, cols = self._scatter_grid
                 blk = probs.reshape(rows, cols, tout, tout, tout)
@@ -162,14 +171,16 @@ class DetectPipeline:
                 )
                 c0 = corner_batch[0]
                 return lax.dynamic_update_slice(
-                    out, blk, (c0[0] + z_off, c0[1], c0[2])
+                    out, blk, (c0[0] + off[0], c0[1] + off[1],
+                               c0[2] + off[2])
                 )
 
             def write(out, args):
                 tile, c = args
                 return (
                     lax.dynamic_update_slice(
-                        out, tile, (c[0] + z_off, c[1], c[2])
+                        out, tile, (c[0] + off[0], c[1] + off[1],
+                                    c[2] + off[2])
                     ),
                     None,
                 )
@@ -180,8 +191,8 @@ class DetectPipeline:
         self._write_tiles = write_tiles
 
         @functools.partial(jax.jit, donate_argnums=(3,))
-        def fwd_slab(variables, slab, corners_local, out, z_off):
-            # z_off is traced (dynamic_update_slice takes traced starts):
+        def fwd_slab(variables, slab, corners_local, out, w_off):
+            # w_off is traced (dynamic_update_slice takes traced starts):
             # every slab shares ONE compiled executable
             scale = input_scale
             if slab.dtype == jnp.uint8:
@@ -199,7 +210,7 @@ class DetectPipeline:
                 logits = spec.module.apply(variables, x[..., None],
                                            train=False)
                 probs = jax.nn.sigmoid(logits[..., 0])
-                return write_tiles(out, probs, corner_batch, z_off), None
+                return write_tiles(out, probs, corner_batch, w_off), None
 
             out, _ = lax.scan(body, out, corners_local)
             return out
@@ -255,6 +266,51 @@ class DetectPipeline:
         self._fwd_slab = fwd_slab
         self._make_post = make_post
         self._posts: dict = {}
+
+        # split-write slab forward: each tile's probs materialize in
+        # their OWN executable (a plain (tout)^3 output, like the
+        # per-ROI covering forward's) and a second tiny (donated)
+        # executable lands them in the output buffer.  Needed by the
+        # shared-forward streaming mode for packed pooling models:
+        # fusing (or even scan-stacking) the packed->spatial unpack with
+        # a multi-tile buffer makes XLA layout assignment materialize
+        # the parity tensor in a (8,128)-tiled layout padded 64x — a
+        # 10+ GB temp that OOMs 1k^3 runs (experiments/shared_fwd_ab.py,
+        # shared_unet_mem2.py AOT memory analysis: the scan-stacked
+        # form carries temp_gb=10.4; the per-ROI-style single-tile
+        # forward carries none).  Across the dispatch boundary both
+        # sides keep default layouts; dispatches are async, so the
+        # per-tile pairs cost no host blocking.
+        self._split_write = bool(split_write)
+        if split_write:
+
+            @jax.jit
+            def fwd_tile(variables, slab, corner):
+                scale = input_scale
+                if slab.dtype == jnp.uint8:
+                    scale = (1.0 / 255.0) if scale is None else scale
+                tile = lax.dynamic_slice(
+                    slab, (corner[0], corner[1], corner[2]),
+                    (tin, tin, tin),
+                )
+                x = tile.astype(jnp.float32)
+                if scale is not None:
+                    x = x * scale
+                logits = spec.module.apply(
+                    variables, x[None, ..., None], train=False
+                )
+                return jax.nn.sigmoid(logits[0, ..., 0])
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def write_tile(out, probs, corner, w_off):
+                return lax.dynamic_update_slice(
+                    out, probs,
+                    (corner[0] + w_off[0], corner[1] + w_off[1],
+                     corner[2] + w_off[2]),
+                )
+
+            self._fwd_tile = fwd_tile
+            self._write_tile = write_tile
 
         # raw-chunk staging plan (wire-minimal stage()): upload the
         # UNPADDED volume as disjoint z-chunks and build each slab's
@@ -365,18 +421,37 @@ class DetectPipeline:
                 return xa  # (nb, 8B, d, h, w, c)
 
             @functools.partial(jax.jit, donate_argnums=(2,))
-            def slab_phase_b(variables, xa, out, local, zs):
+            def slab_phase_b(variables, xa, out, local, w_off):
                 def body(out, args):
                     xab, corner_batch = args
                     logits = spec.module.apply_stage_b(variables, xab)
                     probs = jax.nn.sigmoid(logits[..., 0])
-                    return write_tiles(out, probs, corner_batch, zs), None
+                    return write_tiles(out, probs, corner_batch, w_off), None
 
                 out, _ = lax.scan(body, out, (xa, local))
                 return out
 
             self._slab_phase_a = slab_phase_a
             self._slab_phase_b = slab_phase_b
+            # cap per-dispatch stage-A activations: a phase-A call holds
+            # its whole batch-scan's xa in HBM (nb x 8B x d^3 x c), which
+            # scales with the slab's xy footprint — at a 1k^3 shared
+            # forward one 16-batch slab's xa is ~5 GB.  Chunk the batch
+            # scan so each phase-A/B round holds <= ~1.5 GB of xa
+            # (duplicated tail batches rewrite identical tiles — the
+            # established bitwise-safe padding trick).
+            xa_sd = jax.eval_shape(
+                lambda v, x: mod.apply_stage_a(v, x),
+                variables,
+                jax.ShapeDtypeStruct(
+                    (tile_batch, tin, tin, tin, 1), jnp.float32
+                ),
+            )
+            per_batch = sum(
+                int(np.prod(l.shape)) * l.dtype.itemsize
+                for l in jax.tree.leaves(xa_sd)
+            )
+            self._pa_chunk = max(1, (3 << 29) // max(per_batch, 1))
 
         # single-dispatch forward over a device-resident global volume:
         # every slab slice + tile sweep + stitch runs in ONE executable
@@ -416,7 +491,11 @@ class DetectPipeline:
                             variables, x[..., None], train=False
                         )
                         probs = jax.nn.sigmoid(logits[..., 0])
-                        return write_tiles(out, probs, corner_batch, zs), None
+                        w_off = jnp.stack(
+                            [zs, jnp.int32(0), jnp.int32(0)]
+                        )
+                        return write_tiles(out, probs, corner_batch,
+                                           w_off), None
 
                     out, _ = lax.scan(body, out, local)
                     return out, None
@@ -428,18 +507,116 @@ class DetectPipeline:
         else:  # ragged slab grids fall back to the per-slab path
             self._fwd_from_fused = None
 
+    def _phase_a_chunks(self, local):
+        """Split one slab's (nb, B, 3) corner scan into chunks bounded by
+        the stage-A activation budget (see ``_pa_chunk`` in __init__);
+        ragged tails repeat the last batch (duplicate writes are bitwise
+        identical — the corner-padding trick)."""
+        nb = local.shape[0]
+        ch = self._pa_chunk
+        if ch >= nb:
+            return [local]
+        chunks = []
+        for i in range(0, nb, ch):
+            part = local[i : i + ch]
+            if part.shape[0] < ch:
+                pad = jnp.broadcast_to(
+                    part[-1:], (ch - part.shape[0],) + part.shape[1:]
+                )
+                part = jnp.concatenate([part, pad], axis=0)
+            chunks.append(part)
+        return chunks
+
     def _forward_two_phase(self, big, origin, variables):
         """Per-slab phase-A/phase-B dispatch loop over a device-resident
         volume (all dispatches async; ``xa`` and ``out`` are donated so
-        peak HBM is one slab's stage-A activations + the output map)."""
+        peak HBM is one chunk's stage-A activations + the output map)."""
         origin = jnp.asarray(origin, jnp.int32)
         out = jnp.zeros(self._out_shape, dtype=jnp.float32)
         for zs, local in self._slabs:
-            xa = self._slab_phase_a(
-                variables, big, origin, jnp.int32(zs), local
-            )
-            out = self._slab_phase_b(
-                variables, xa, out, local, jnp.int32(zs)
+            for lc in self._phase_a_chunks(local):
+                xa = self._slab_phase_a(
+                    variables, big, origin, jnp.int32(zs), lc
+                )
+                out = self._slab_phase_b(
+                    variables, xa, out, lc, _zoff(zs)
+                )
+        return out
+
+    def forward_slabs(self, slab_for, variables=None, out=None,
+                      offset=(0, 0, 0), tile_for=None) -> jax.Array:
+        """Drive the per-slab forward over externally provided padded
+        slab windows — ``slab_for(zs)`` returns the ``(tin, py, px)``
+        window whose planes start at padded-volume z ``zs`` (e.g.
+        device-assembled from chunk-staged uploads).  Used by the
+        shared-forward streaming mode (infer/large).  Bitwise the
+        :meth:`forward_from` result on the same data: identical
+        executables, identical write order.
+
+        ``out``/``offset`` redirect the tile writes into a caller-owned
+        (donated) buffer at ``offset`` — the shared mode passes its
+        -inf shell directly, so the full prob map and the shell never
+        coexist in HBM (writes land at identical values; only the
+        destination buffer changes).
+
+        ``tile_for(zs, c)`` (split-write mode only) fetches one
+        ``(tin, tin, tin)`` tile window directly instead of a whole
+        xy-footprint slab — a 58 MB window instead of a 433 MB one at
+        1k^3 U-Net shapes, part of the split-write peak-HBM budget."""
+        v = self.variables if variables is None else variables
+        if out is None:
+            out = jnp.zeros(self._out_shape, dtype=jnp.float32)
+        off = np.asarray(offset, np.int64)
+        if self.two_phase:
+            origin0 = jnp.zeros((3,), jnp.int32)
+            for zs, local in self._slabs:
+                window = slab_for(zs)
+                for lc in self._phase_a_chunks(local):
+                    xa = self._slab_phase_a(
+                        v, window, origin0, jnp.int32(0), lc
+                    )
+                    out = self._slab_phase_b(
+                        v, xa, out, lc,
+                        jnp.asarray(off + (zs, 0, 0), jnp.int32),
+                    )
+            return out
+        if self._split_write:
+            # throttle dispatch-ahead: buffers are ALLOCATED at dispatch
+            # time, so an unthrottled host loop would hold every tile's
+            # probs (27 x 161 MB at tin 388) at once; bound the backlog
+            # to ~0.5 GB with a tiny forced read (in-order execution
+            # makes it a barrier for all earlier dispatches)
+            tout = self._tiled.tile_out
+            sync_every = max(1, (1 << 28) // (4 * tout**3))
+            zero3 = jnp.zeros((3,), jnp.int32)
+            n = 0
+            for zs, local in self._slabs:
+                window = None if tile_for is not None else slab_for(zs)
+                w_off = off + (zs, 0, 0)
+                seen = set()
+                for c in np.asarray(local).reshape(-1, 3):
+                    key = tuple(int(v_) for v_ in c)
+                    if key in seen:  # batch-padding duplicates
+                        continue
+                    seen.add(key)
+                    if tile_for is not None:
+                        probs = self._fwd_tile(v, tile_for(zs, c), zero3)
+                    else:
+                        probs = self._fwd_tile(
+                            v, window, jnp.asarray(c, jnp.int32)
+                        )
+                    out = self._write_tile(
+                        out, probs,
+                        jnp.asarray(c + w_off, jnp.int32), zero3,
+                    )
+                    n += 1
+                    if n % sync_every == 0:
+                        jax.device_get(out[:1, :1, 0])
+            return out
+        for zs, local in self._slabs:
+            out = self._fwd_slab(
+                v, slab_for(zs), local, out,
+                jnp.asarray(off + (zs, 0, 0), jnp.int32),
             )
         return out
 
@@ -570,7 +747,7 @@ class DetectPipeline:
         for zs, local in self._slabs:
             slab = lax.dynamic_slice(big, (oz + zs, oy, ox), (tin, py, px))
             out = self._fwd_slab(
-                v, slab, local, out, jnp.int32(zs)
+                v, slab, local, out, _zoff(zs)
             )
         return out
 
@@ -585,18 +762,19 @@ class DetectPipeline:
                 self._slabs, self._staged_slabs(staged)
             ):
                 # each staged slab IS its own (tin, py, px) window
-                xa = self._slab_phase_a(
-                    v, slab, origin0, jnp.int32(0), local
-                )
-                out = self._slab_phase_b(
-                    v, xa, out, local, jnp.int32(zs)
-                )
+                for lc in self._phase_a_chunks(local):
+                    xa = self._slab_phase_a(
+                        v, slab, origin0, jnp.int32(0), lc
+                    )
+                    out = self._slab_phase_b(
+                        v, xa, out, lc, _zoff(zs)
+                    )
             return out
         for (zs, local), slab in zip(
             self._slabs, self._staged_slabs(staged)
         ):
             out = self._fwd_slab(
-                self.variables, slab, local, out, jnp.int32(zs)
+                self.variables, slab, local, out, _zoff(zs)
             )
         return out
 

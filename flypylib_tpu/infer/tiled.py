@@ -294,3 +294,44 @@ def default_tiling(
     for d in dims:
         n_tiles *= max(1, -(-d // tile))
     return tile, max(1, min(8, n_tiles))
+
+
+def grid_tiling_min_cost(
+    spec: ModelSpec, vol_shape, max_tile_in: int = 428
+) -> tuple[int, int]:
+    """``(tile_out, tile_batch)`` minimizing total conv input voxels
+    (tile count x tile_in^3) for a whole-volume tile grid, over valid
+    phase-aligned tile sizes with ``tile_in <= max_tile_in``.
+
+    Used by the shared-forward streaming mode for pooling ("cover")
+    topologies, where the forward tiling is decoupled from the ROI
+    postprocess geometry: the cost of a covering-tile-per-ROI sweep is
+    dominated by halo redundancy (2.5x at 1k^3 with core 256), while a
+    cost-minimizing grid over the whole volume pays only its own tile
+    halos + overshoot (e.g. 27 tiles of tin 388 = 1.47x at 1k^3).
+    Batch stays 1 (big pooled tiles; batch>1 at these shapes measured
+    slower or crashing — BENCH_NOTES.md round 3)."""
+    dims = to3d(vol_shape)
+    ctx = spec.context
+    mult = max(spec.size_multiple, 1)
+    best, best_cost = None, None
+    t = mult
+    while True:
+        tin = spec.valid_size(t + 2 * ctx)
+        if tin > max_tile_in:
+            break
+        tout = tin - 2 * ctx
+        stride = (tout // mult) * mult
+        if stride > 0:
+            n = 1
+            for d in dims:
+                k = max(0, ceil_div(max(0, d - tout), stride))
+                n *= k + 1
+            cost = n * tin**3
+            # <=: prefer the LARGER tile on cost ties (fewer dispatches)
+            if best is None or cost <= best_cost:
+                best, best_cost = tout, cost
+        t = tout + mult  # skip to the next distinct valid size
+    if best is None:
+        return default_tiling(spec, vol_shape, max_tile_in)
+    return best, 1

@@ -198,9 +198,12 @@ class FplNetwork:
         path, or a ``(shape, read_fn)`` pair.  ``staged=True`` keeps the
         whole volume HBM-resident and slices ROIs on device (the
         chip-bound mode; default for in-RAM volumes that fit), else ROIs
-        stream over the wire / from disk with bounded memory.  On a
-        multi-chip host pass ``devices=jax.local_devices()`` (staged
-        mode only) to fan the ROI sweep over every chip."""
+        stream over the wire / from disk with bounded memory.  Staged
+        mode defaults to ``forward="auto"``: ONE shared whole-volume
+        forward when it fits HBM (no per-ROI forward redundancy), else
+        per-ROI forwards — pass ``forward="roi"``/``"shared"`` to pin.
+        On a multi-chip host pass ``devices=jax.local_devices()``
+        (staged roi mode only) to fan the ROI sweep over every chip."""
         from flypylib_tpu.infer.large import (
             detect_h5,
             detect_staged,

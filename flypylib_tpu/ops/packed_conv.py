@@ -71,6 +71,46 @@ def unpack_volume(x: jax.Array) -> jax.Array:
     return x.reshape(b, 2 * d, 2 * h, 2 * w, c)
 
 
+def pack_volume_iv(x: jax.Array) -> jax.Array:
+    """:func:`pack_volume` by three per-axis de-interleaves (split-
+    reshape + strided slices with channel concat) instead of one 8-D
+    transpose.  Bitwise the same values; the transpose form's TPU
+    layout copy costs 14.65 GB of temp at a (388^3, 1) f32 tile vs ~0
+    for this form (experiments/pack_mem_probe.py).  Use for big-spatial
+    packs (the U-Net covering tiles); small tiles are fine either way."""
+    b, d, h, w, c = x.shape
+    if d % 2 or h % 2 or w % 2:
+        raise ValueError(f"pack_volume needs even spatial dims, got {x.shape}")
+    # x-parity is adjacent to w in row-major: split-merge into channel
+    x = x.reshape(b, d, h, w // 2, 2 * c)
+    # y-parity / z-parity: strided cell slices + channel concat
+    x = jnp.concatenate((x[:, :, 0::2], x[:, :, 1::2]), axis=-1)
+    return jnp.concatenate((x[:, 0::2], x[:, 1::2]), axis=-1)
+
+
+def unpack_volume_iv(x: jax.Array) -> jax.Array:
+    """:func:`unpack_volume` by three per-axis channel-split interleaves
+    (stack + merge-reshape) instead of one 8-D transpose.
+
+    Bitwise the same values.  The one-shot transpose form makes XLA's
+    TPU layout assignment materialize the (..., 2, 2, 2, c) parity view
+    in a (8,128)-tiled layout with the size-2 parity dims minor — padded
+    64x, a 7-10 GB temp on 300^3-class tiles (AOT memory analysis in
+    experiments/shared_unet_mem2.py; it silently taxed every packed
+    U-Net forward and OOM'd the 1k^3 shared-forward mode).  The
+    per-axis stacks keep a wide channel dim minor at every step, so each
+    materialization is a sane unpadded copy."""
+    b, d, h, w, c8 = x.shape
+    c = c8 // 8
+    # z: channel halves are z-parity 0/1 (packed index (pz, py, px, ch))
+    x = jnp.stack((x[..., : c8 // 2], x[..., c8 // 2 :]), axis=2)
+    x = x.reshape(b, 2 * d, h, w, c8 // 2)
+    x = jnp.stack((x[..., : c8 // 4], x[..., c8 // 4 :]), axis=3)
+    x = x.reshape(b, 2 * d, 2 * h, w, c8 // 4)
+    # x-parity is adjacent to w after the channel split: merge-reshape
+    return x.reshape(b, 2 * d, 2 * h, 2 * w, c)
+
+
 @functools.lru_cache(maxsize=4)
 def _tap_matrix() -> np.ndarray:
     """A[t, u, s, k] = 1 iff 2t + u - s == k (per-axis packed-tap map)."""

@@ -39,10 +39,12 @@ from jax import lax
 
 from flypylib_tpu.models.zoo import ModelSpec, UNetValid, _probe_geometry
 from flypylib_tpu.ops.packed_conv import (
+    pack_volume_iv,
     _PARITY,
     pack_volume,
     pack_weight_d1,
     unpack_volume,
+    unpack_volume_iv,
 )
 
 
@@ -199,7 +201,10 @@ class PackedUNet:
             return jax.nn.relu(y)
 
         bar = lax.optimization_barrier if self.barriers else (lambda v: v)
-        x = bar(pack_volume(x.astype(dt)))
+        # de-interleave form: the one-shot pack transpose costs a
+        # 14.65 GB padded layout copy at U-Net covering-tile shapes
+        # (pack_volume_iv docstring / experiments/pack_mem_probe.py)
+        x = bar(pack_volume_iv(x.astype(dt)))
         skips = []
         for _ in range(levels):
             for _ in range(cps):
@@ -213,7 +218,9 @@ class PackedUNet:
         for _ in range(cps):
             x = packed_conv_relu(x, conv_i)
             conv_i += 1
-        x = bar(unpack_volume(x))  # dense at the deepest pooled resolution
+        # interleave form: the one-shot unpack transpose costs a 64x-
+        # padded multi-GB layout copy on TPU (unpack_volume_iv docstring)
+        x = bar(unpack_volume_iv(x))  # dense at the deepest resolution
 
         for lev in reversed(range(levels)):
             # x: DENSE tensor at this level's coarse resolution — which is
@@ -267,7 +274,9 @@ class PackedUNet:
                 x = packed_conv_relu(x, conv_i)
                 conv_i += 1
             if lev > 0:
-                x = bar(unpack_volume(x))  # dense input for the next fold
+                # dense input for the next fold (interleave form — see
+                # the bottleneck unpack)
+                x = bar(unpack_volume_iv(x))
 
         # logits 1x1 conv (parity-independent): split-weight bf16 with
         # f32 accumulation (same trick as PackedConvStack — bf16->f32 is
@@ -294,7 +303,7 @@ class PackedUNet:
                 preferred_element_type=jnp.float32,
             )  # (B, D, H, W, 8, 2)
             y = y[..., 0] + y[..., 1] + bl  # (B, D, H, W, 8)
-        return unpack_volume(y.reshape(b_, d, h, w_sp, 8 * 1))
+        return unpack_volume_iv(y.reshape(b_, d, h, w_sp, 8 * 1))
 
     def __repr__(self):
         return f"PackedUNet({self.inner!r})"

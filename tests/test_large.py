@@ -211,7 +211,7 @@ def test_staged_equals_streaming_and_monolithic(model, rng):
     )
     staged = detect_staged(
         spec, variables, vol, core=20, window=5, threshold=thr,
-        method="both",
+        method="both", forward="roi",  # pin the per-ROI-forward path
     )
     assert len(host_nms) > 0 and len(host_cc) > 0
     for h, s, g in zip((host_nms, host_cc), stream, staged):
@@ -246,11 +246,12 @@ def test_staged_uint8_and_reuse(model, rng):
     assert staged[0].dtype == np.uint8  # 4x cheaper on the wire
     got1 = detect_staged(
         spec, variables, vol, core=24, window=5, threshold=thr,
-        staged=staged,
+        staged=staged, forward="roi",
     )
     got2 = detect_staged(
         spec, variables, vol, core=24, window=5,
         threshold=float(np.quantile(prob, 0.999)), staged=staged,
+        forward="roi",
     )
     assert len(host) > 0
     assert_same_detections(host, got1)
@@ -389,9 +390,12 @@ def test_staged_chunked_bit_identical(model, rng, chunk):
         vol = rng.random(shape).astype(np.float32)
         if dtype == np.uint8:
             vol = (vol * 255).astype(np.uint8)
-        common = dict(window=3, threshold=0.55, method="both")
-        plan = make_stream_plan(spec, variables, shape, core=core,
-                                **common)
+        common = dict(window=3, threshold=0.55, method="both",
+                      forward="roi")  # pin the per-ROI chunked path
+        plan = make_stream_plan(
+            spec, variables, shape, core=core,
+            **{k: v for k, v in common.items() if k != "forward"},
+        )
         mono = detect_staged(spec, variables, vol,
                              staged=stage_volume(vol, plan=plan),
                              plan=plan, **common)
@@ -477,6 +481,149 @@ def test_streaming_anisotropic_core(model, rng):
     )
     assert len(host) > 0
     assert_same_detections(host, got)
+
+
+@pytest.mark.parametrize(
+    "method,cc_impl",
+    [("both", "sparse"), ("both", "device"), ("nms", "sparse"),
+     ("components", "sparse"), ("components", "device")],
+)
+def test_staged_shared_forward_bit_identical(model, rng, method, cc_impl):
+    """forward="shared" (one whole-volume forward + windowed postprocess
+    over the -inf shell) == forward="roi" bit-identically, for every
+    method/backend combination — on a non-divisible shape and core, so
+    core boxes overhang the volume and the shell's out-of-volume -inf
+    rule is load-bearing."""
+    from flypylib_tpu.infer.large import detect_staged, make_stream_plan
+
+    spec, variables = model
+    vol = rng.random((45, 38, 41)).astype(np.float32)
+    prob = reference_prob(spec, variables, vol)
+    thr = float(np.quantile(prob, 0.985))
+    common = dict(core=20, window=5, threshold=thr, method=method,
+                  cc_impl=cc_impl)
+    plan = make_stream_plan(spec, variables, vol.shape, **common)
+    roi = detect_staged(spec, variables, vol, plan=plan, **common)
+    shared = detect_staged(spec, variables, vol, plan=plan,
+                           forward="shared", **common)
+    pairs = zip(roi, shared) if method == "both" else [(roi, shared)]
+    for a, b in pairs:
+        assert len(a) > 0
+        np.testing.assert_array_equal(a.locs, b.locs)
+        np.testing.assert_array_equal(a.conf, b.conf)
+    # and both match the host reference
+    if method in ("nms", "both"):
+        host = nms_host(prob, window=5, threshold=thr)
+        assert_same_detections(
+            host, shared[0] if method == "both" else shared
+        )
+    if method in ("components", "both"):
+        host = components_host(prob, threshold=thr)
+        assert_same_detections(
+            host, shared[1] if method == "both" else shared,
+            loc_tol=1e-3,
+        )
+
+
+def test_staged_shared_forward_chunked_and_uint8(model, rng):
+    """Shared mode over a chunk-staged uint8 volume (device-assembled
+    slab windows) == the roi sweep, bit-identically."""
+    from flypylib_tpu.infer.large import (
+        detect_staged,
+        make_stream_plan,
+        stage_volume_chunked,
+    )
+
+    spec, variables = model
+    vol = (rng.random((40, 33, 37)) * 255).astype(np.uint8)
+    prob = reference_prob(
+        spec, variables, vol.astype(np.float32) * np.float32(1.0 / 255.0)
+    )
+    thr = float(np.quantile(prob, 0.99))
+    common = dict(core=16, window=3, threshold=thr, method="both")
+    plan = make_stream_plan(spec, variables, vol.shape, **common)
+    roi = detect_staged(spec, variables, vol, plan=plan, **common)
+    staged = stage_volume_chunked(vol, plan=plan, chunk=13)
+    shared = detect_staged(spec, variables, vol, plan=plan,
+                           staged=staged, forward="shared", **common)
+    for a, b in zip(roi, shared):
+        assert len(a) > 0
+        np.testing.assert_array_equal(a.locs, b.locs)
+        np.testing.assert_array_equal(a.conf, b.conf)
+
+
+def test_staged_shared_forward_overflow_grows(model, rng):
+    """Shared-mode slot budgets (fused C, NMS K) self-heal via
+    grow-and-retry against the held shell."""
+    from flypylib_tpu.infer.large import detect_staged, make_stream_plan
+
+    spec, variables = model
+    vol = rng.random((40, 33, 37)).astype(np.float32)
+    prob = reference_prob(spec, variables, vol)
+    thr = float(np.quantile(prob, 0.9))  # many candidates
+    common = dict(core=20, window=3, threshold=thr, method="both")
+    plan = make_stream_plan(spec, variables, vol.shape, **common)
+    plan.C = 16
+    host = nms_host(prob, window=3, threshold=thr)
+    got = detect_staged(spec, variables, vol, plan=plan,
+                        forward="shared", **common)
+    assert plan.C > 16  # grew
+    assert_same_detections(host, got[0])
+
+    common = dict(core=20, window=3, threshold=thr, method="nms")
+    plan = make_stream_plan(spec, variables, vol.shape,
+                            max_detections_per_roi=4, **common)
+    got = detect_staged(spec, variables, vol, plan=plan,
+                        forward="shared", **common)
+    assert plan._nms_K > 4  # grew
+    assert_same_detections(host, got)
+
+
+def test_staged_shared_forward_pooled(rng):
+    """Shared mode with a pooling (U-Net) spec: the whole-volume grid
+    keeps the monolithic pooling phase, detections == roi mode == host."""
+    import jax
+
+    from flypylib_tpu.infer.large import detect_staged, make_stream_plan
+    from flypylib_tpu.models.zoo import unet
+
+    spec = unet(base_features=2, levels=1, convs_per_stage=1)
+    variables = spec.init(jax.random.PRNGKey(0))
+    vol = rng.random((36, 30, 34)).astype(np.float32)
+    prob = reference_prob(spec, variables, vol)
+    thr = float(np.quantile(prob, 0.99))
+    common = dict(core=24, window=3, threshold=thr, method="nms")
+    plan = make_stream_plan(spec, variables, vol.shape, **common)
+    roi = detect_staged(spec, variables, vol, plan=plan, **common)
+    shared = detect_staged(spec, variables, vol, plan=plan,
+                           forward="shared", **common)
+    assert len(roi) > 0
+    np.testing.assert_array_equal(roi.locs, shared.locs)
+    np.testing.assert_array_equal(roi.conf, shared.conf)
+    assert_same_detections(nms_host(prob, window=3, threshold=thr), shared)
+
+
+def test_staged_forward_mode_validation(model, rng):
+    """forward= is validated; shared+devices is rejected; auto picks
+    shared for small volumes (and stays exact)."""
+    from flypylib_tpu.infer.large import detect_staged, make_stream_plan
+
+    spec, variables = model
+    vol = rng.random((40, 33, 37)).astype(np.float32)
+    prob = reference_prob(spec, variables, vol)
+    thr = float(np.quantile(prob, 0.99))
+    with pytest.raises(ValueError, match="forward mode"):
+        detect_staged(spec, variables, vol, threshold=thr,
+                      forward="nope")
+    with pytest.raises(ValueError, match="single-device"):
+        detect_staged(spec, variables, vol, threshold=thr,
+                      forward="shared", devices=jax.devices()[:2])
+    common = dict(core=20, window=5, threshold=thr, method="nms")
+    plan = make_stream_plan(spec, variables, vol.shape, **common)
+    assert plan.shared_auto(vol.nbytes)  # tiny volume: shared fits
+    got = detect_staged(spec, variables, vol, plan=plan,
+                        forward="auto", **common)
+    assert_same_detections(nms_host(prob, window=5, threshold=thr), got)
 
 
 def test_pooled_default_core_and_tile(rng):
