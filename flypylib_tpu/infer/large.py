@@ -552,28 +552,78 @@ class _StreamPlan:
         instead."""
         fp = getattr(self, "_fp", None)
         if fp is None:
-            from flypylib_tpu.infer.tiled import (
-                grid_tiling_min_cost,
-                tiling_regime,
-            )
+            fp = self._fp = self._make_shared_pipe(self.shape)
+        return fp
 
-            spec = self.pipe.spec
-            cover = tiling_regime(spec) == "cover"
-            if cover:
-                t_out, t_batch = grid_tiling_min_cost(spec, self.shape)
-            else:
-                ext = max(self.shape)
-                t_out = _default_tile(ext, spec)
-                t_batch = min(16, max(1, (ext // t_out) ** 2))
-            fp = self._fp = DetectPipeline(
-                spec, self.pipe.variables, vol_shape=self.shape,
-                tile_out=t_out, tile_batch=t_batch, window=self.window,
-                threshold=self.threshold, max_detections=1,
-                run_cc=False, pre_padded=True,
-                # packed pooling models: keep the pack/unpack relayouts
-                # out of the multi-tile executables (split_write in
-                # pipeline.py) — and bound per-dispatch footprints
-                split_write=cover,
+    def _make_shared_pipe(self, vol_shape) -> DetectPipeline:
+        """Forward-only pipeline over ``vol_shape`` with the shared
+        mode's tile policy (cost-minimal cover grid / default conv-stack
+        grid; split-write for packed pooling models)."""
+        from flypylib_tpu.infer.tiled import (
+            grid_tiling_min_cost,
+            tiling_regime,
+        )
+
+        spec = self.pipe.spec
+        cover = tiling_regime(spec) == "cover"
+        if cover:
+            t_out, t_batch = grid_tiling_min_cost(spec, vol_shape)
+        else:
+            ext = max(vol_shape)
+            t_out = _default_tile(ext, spec)
+            t_batch = min(16, max(1, (ext // t_out) ** 2))
+        return DetectPipeline(
+            spec, self.pipe.variables, vol_shape=vol_shape,
+            tile_out=t_out, tile_batch=t_batch, window=self.window,
+            threshold=self.threshold, max_detections=1,
+            run_cc=False, pre_padded=True,
+            # packed pooling models: keep the pack/unpack relayouts
+            # out of the multi-tile executables (split_write in
+            # pipeline.py) — and bound per-dispatch footprints
+            split_write=cover,
+        )
+
+    # ---- multi-device shared forward: z-band partition ------------------
+    #
+    # The shared forward composes with ``devices=`` by splitting the ROI
+    # grid's z-rows into contiguous BANDS, one per device: each device
+    # forwards only its band's sub-volume (plus the +-h NMS halo, so ROI
+    # windows near band seams read real probs) into its own local -inf
+    # shell, and each ROI's postprocess runs on the device owning its
+    # band.  Cores are disjoint and every prob voxel is computed with
+    # monolithic semantics (the band's tile grid anchors at
+    # band_z0 - h, which for pooling models is ==0 mod size_multiple
+    # because core and h are both snapped — the pooling phase is
+    # preserved), so detections are bit-identical to the single-device
+    # modes (test-pinned).
+
+    def _band_partition(self, n_devices: int):
+        """``(rows_per_band, n_bands, band_z0s)`` splitting the grid's
+        z-rows across ``n_devices``.  Bands are uniform (rows_per_band
+        rows each) so ONE band pipeline serves every device; the last
+        band SHIFTS DOWN to keep the uniform extent when the row count
+        doesn't divide (its shell overlaps the previous band's — the
+        overlapping probs are recomputed identically, and each ROI is
+        still postprocessed exactly once, on its own band)."""
+        cz = self.core_dims[0]
+        n_rows = len({c[0] for _, c in self.grid}) or 1
+        nb = max(1, min(int(n_devices), n_rows))
+        rpb = -(-n_rows // nb)  # ceil
+        nb = -(-n_rows // rpb)
+        b0s = [min(i * rpb, n_rows - rpb) * cz for i in range(nb)]
+        return rpb, nb, b0s
+
+    def band_pipe(self, rows_per_band: int) -> DetectPipeline:
+        """Forward pipeline for one z-band (cached per band extent)."""
+        cache = getattr(self, "_band_pipes", None)
+        if cache is None:
+            cache = self._band_pipes = {}
+        fp = cache.get(rows_per_band)
+        if fp is None:
+            cz = self.core_dims[0]
+            bz = rows_per_band * cz + 2 * self.h
+            fp = cache[rows_per_band] = self._make_shared_pipe(
+                (bz, self.shape[1], self.shape[2])
             )
         return fp
 
@@ -700,14 +750,123 @@ class _StreamPlan:
         )
         return self._shell_mask_fn()(shell)
 
-    def shared_auto(self, staged_bytes: int) -> bool:
+    def _band_shell_shape(self, fp: DetectPipeline):
+        """Shell dims for one z-band: the band's forward span (+grid
+        overshoot) in z — shell index 0 sits at global ``band_z0 - h`` —
+        and the single-device shell's y/x dims."""
+        h = self.h
+        _, sy, sx = self._shell_shape()
+        return (
+            max(fp.vol_shape[0], fp._out_shape[0]),
+            max(sy, h + fp._out_shape[1]),
+            max(sx, h + fp._out_shape[2]),
+        )
+
+    def _band_shell_init(self, fp: DetectPipeline, device):
+        """Fresh -inf band shell committed to ``device``."""
+        key = ("band_init", self._band_shell_shape(fp), device)
+        cache = getattr(self, "_band_jits", None)
+        if cache is None:
+            cache = self._band_jits = {}
+        f = cache.get(key)
+        if f is None:
+            from jax.sharding import SingleDeviceSharding
+
+            shp = self._band_shell_shape(fp)
+
+            @functools.partial(
+                jax.jit, out_shardings=SingleDeviceSharding(device)
+            )
+            def f():
+                return jnp.full(shp, -jnp.inf, jnp.float32)
+
+            cache[key] = f
+        return f()
+
+    def _band_mask_fn(self, fp: DetectPipeline):
+        """Donated -inf restore outside the true volume for a band shell.
+        ``glo`` (traced) is the global z of shell index 0 (= band_z0 - h),
+        so one executable serves every band."""
+        key = ("band_mask", self._band_shell_shape(fp))
+        cache = getattr(self, "_band_jits", None)
+        if cache is None:
+            cache = self._band_jits = {}
+        f = cache.get(key)
+        if f is None:
+            h = self.h
+            vz, vy, vx = self.shape
+            shp = self._band_shell_shape(fp)
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def f(shell, glo):
+                zz = lax.broadcasted_iota(jnp.int32, shp, 0) + glo
+                yy = lax.broadcasted_iota(jnp.int32, shp, 1)
+                xx = lax.broadcasted_iota(jnp.int32, shp, 2)
+                inb = (
+                    (zz >= 0) & (zz < vz)
+                    & (yy >= h) & (yy < h + vy)
+                    & (xx >= h) & (xx < h + vx)
+                )
+                return jnp.where(inb, shell, -jnp.inf)
+
+            cache[key] = f
+        return f
+
+    def shared_prob_band(self, big, halo: int, b0: int,
+                         fp: DetectPipeline, variables, device):
+        """Forward ONE z-band of the volume into its local -inf shell on
+        ``device``.  ``big`` is the (already padded, device-committed)
+        staged volume; the band's probs span global z
+        ``[b0 - h, b0 - h + band_extent)`` — the +-h halo beyond the
+        band's cores gives seam-adjacent ROI windows real prob values,
+        exactly the voxels the monolithic map holds there (same tile
+        semantics; bitwise — test-pinned)."""
+        h = self.h
+        ctx = self.ctx
+        tin = fp._tin
+        _, py, px = fp.padded_shape
+        off = halo - ctx
+        off2 = off + b0 - h  # >= 0: halo >= h + ctx
+
+        slab_for = lambda zs: _slice_window(  # noqa: E731
+            big, jnp.asarray((off2 + zs, off, off), jnp.int32),
+            size=(tin, py, px),
+        )
+        tile_for = (
+            (lambda zs, c: _slice_window(
+                big,
+                jnp.asarray(
+                    (off2 + zs + int(c[0]), off + int(c[1]),
+                     off + int(c[2])),
+                    jnp.int32,
+                ),
+                size=(tin, tin, tin),
+            ))
+            if fp._split_write
+            else None
+        )
+        shell = fp.forward_slabs(
+            slab_for, variables=variables,
+            out=self._band_shell_init(fp, device), offset=(0, h, h),
+            tile_for=tile_for,
+        )
+        return self._band_mask_fn(fp)(shell, jnp.int32(b0 - h))
+
+    def shared_auto(self, staged_bytes: int, n_devices: int = 1) -> bool:
         """True when the shared forward's peak HBM (the -inf shell the
         tiles write into + forward activations + the staged volume) fits
-        the chip budget."""
+        the chip budget.  With ``n_devices > 1`` the estimate is per
+        device: each chip holds one z-band's shell (plus the replicated
+        staged volume)."""
         from flypylib_tpu.infer.tiled import tiling_regime
 
-        fp = self.full_pipe(staged_bytes=int(staged_bytes))
-        shell = 4 * int(np.prod(self._shell_shape()))
+        if n_devices > 1:
+            rpb, _, _ = self._band_partition(n_devices)
+            fp = self.band_pipe(rpb)
+            shell = 4 * int(np.prod(self._band_shell_shape(fp)))
+        else:
+            fp = self.full_pipe(staged_bytes=int(staged_bytes))
+            shell = 4 * int(np.prod(self._shell_shape()))
         if tiling_regime(self.pipe.spec) == "cover":
             # split-write forward: the grid tile was SIZED to fit by
             # full_pipe's act-model budget — mirror that arithmetic
@@ -724,6 +883,8 @@ class _StreamPlan:
             n_sh = sum(
                 local.shape[0] * local.shape[1] for _, local in fp._slabs
             )
+            if n_devices > 1:  # whole-volume total = one grid per band
+                n_sh *= self._band_partition(n_devices)[1]
             n_roi = sum(
                 local.shape[0] * local.shape[1]
                 for _, local in self.pipe._slabs
@@ -915,8 +1076,14 @@ class _StreamPlan:
         cache[(K, F)] = f
         return f
 
-    def _dispatch_shared(self, key, corner, shell):
-        cj = jnp.asarray(corner, jnp.int32)
+    def _dispatch_shared(self, key, corner, shell, corner_local=None):
+        """Dispatch one ROI's postprocess over ``shell``.  ``corner`` is
+        the ROI's GLOBAL core corner (used by :meth:`_collect` to
+        globalize detections); ``corner_local`` (band mode) is the same
+        corner in the shell's own coordinates."""
+        cj = jnp.asarray(
+            corner if corner_local is None else corner_local, jnp.int32
+        )
         thr_j = jnp.float32(self.threshold)
         rec = {
             "key": key, "corner": corner, "lo_want": None, "out": None,
@@ -977,6 +1144,37 @@ class _StreamPlan:
         pend: deque = deque()
         for key, corner in self.grid:
             pend.append(self._dispatch_shared(key, corner, shell))
+            if len(pend) >= window:
+                self._collect(pend.popleft(), progress)
+        while pend:
+            self._collect(pend.popleft(), progress)
+        return self._finalize()
+
+    def consume_shared_multi(self, shells, rpb: int, progress=None):
+        """:meth:`consume_shared` over per-band shells: each ROI's
+        postprocess dispatches on the device holding its band's shell
+        (grid order is preserved, so the merge — and the detection
+        ordering — is identical to the single-device sweep).  The
+        dispatch-ahead window scales with the band count so every
+        device keeps its pipeline full."""
+        from collections import deque
+
+        cz = self.core_dims[0]
+        nb = len(shells)
+        n_rows = len({c[0] for _, c in self.grid}) or 1
+        self._all_locs, self._all_conf = [], []
+        self._cc_rois = {}
+        window = max(self.pipeline_window, 8) * nb
+        pend: deque = deque()
+        for key, corner in self.grid:
+            band = min(key[0] // rpb, nb - 1)
+            b0 = min(band * rpb, n_rows - rpb) * cz
+            local = (corner[0] - b0, corner[1], corner[2])
+            pend.append(
+                self._dispatch_shared(
+                    key, corner, shells[band], corner_local=local
+                )
+            )
             if len(pend) >= window:
                 self._collect(pend.popleft(), progress)
         while pend:
@@ -1542,7 +1740,7 @@ def detect_staged(
     ``forward`` selects how probability maps are produced:
 
     * ``"roi"`` — each ROI runs its own halo-padded forward (bounded
-      HBM; the only mode that composes with ``devices``);
+      HBM);
     * ``"shared"`` — the WHOLE volume forwards once through a
       cost-optimal tile grid, writing straight into the -inf-shelled
       shared map, and every ROI's postprocess is a traced window over
@@ -1557,13 +1755,17 @@ def detect_staged(
     Detections are identical across modes (same monolithic semantics;
     pinned by tests/test_large.py::test_staged_shared_forward_*).
 
-    ``devices`` (e.g. ``jax.local_devices()``) fans the ROI sweep over
-    several local chips: the staged volume and params are replicated per
-    device and ROIs round-robin across them (eval config 5's
-    per-host scale-up, [B:11]; SURVEY.md section 2.3 SP row).  ROI cores
-    are disjoint and the host-side merge is order-exact, so detections
-    are bit-identical to the single-device sweep
-    (tests/test_large.py::test_staged_multi_device_bit_identical).
+    ``devices`` (e.g. ``jax.local_devices()``) fans the sweep over
+    several local chips (eval config 5's per-host scale-up, [B:11];
+    SURVEY.md section 2.3 SP row).  In roi mode the staged volume and
+    params are replicated per device and ROIs round-robin across them;
+    in shared mode the grid's z-rows split into contiguous BANDS, one
+    per device, each forwarding its band (+-h halo) into a local -inf
+    shell with per-band postprocess.  ROI cores are disjoint and the
+    host-side merge is order-exact, so detections are bit-identical to
+    the single-device sweep in both modes
+    (tests/test_large.py::test_staged_multi_device_bit_identical,
+    ::test_staged_shared_forward_multi_device).
     """
     if forward not in ("roi", "shared", "auto"):
         raise ValueError(f"unknown forward mode {forward!r}")
@@ -1584,18 +1786,15 @@ def detect_staged(
     if staged is None:
         staged = stage_volume(volume, plan=plan)
     multi = devices is not None and len(devices) > 1
-    if forward == "shared" and multi:
-        raise ValueError(
-            "forward='shared' is single-device; use forward='roi' with "
-            "devices= (or drop devices=)"
-        )
+    staged_bytes = (
+        sum(c.nbytes for c in staged.chunks)
+        if isinstance(staged, _StagedChunks)
+        else staged[0].nbytes
+    )
     if forward == "shared" or (
         forward == "auto"
-        and not multi
         and plan.shared_auto(
-            sum(c.nbytes for c in staged.chunks)
-            if isinstance(staged, _StagedChunks)
-            else staged[0].nbytes
+            staged_bytes, n_devices=len(devices) if multi else 1
         )
     ):
         halo = (
@@ -1607,6 +1806,12 @@ def detect_staged(
             raise ValueError(
                 f"staged halo {halo} < required {plan.fetch_halo} "
                 "(stage with the same window/method)"
+            )
+        if multi:
+            if isinstance(staged, _StagedChunks):
+                staged = staged.assemble_full()
+            return _detect_staged_shared_multi(
+                plan, staged, devices, progress
             )
         return plan.consume_shared(plan.shared_prob(staged), progress)
     if isinstance(staged, _StagedChunks):
@@ -1680,6 +1885,46 @@ def _detect_staged_chunked(plan, staged: "_StagedChunks", progress):
             )
 
     return plan.consume(outs(), progress)
+
+
+def _detect_staged_shared_multi(plan, staged, devices, progress):
+    """Fan the SHARED whole-volume forward over local devices by z-bands.
+
+    The ROI grid's z-rows split into contiguous uniform bands, one per
+    device; each device forwards its band's sub-volume (+-h halo) into a
+    local -inf shell with the band pipeline (one compile serves every
+    band), and each ROI's postprocess dispatches on the device owning
+    its band.  Every prob voxel is computed with monolithic tile
+    semantics (band grids anchor at band_z0 - h == 0 mod size_multiple),
+    so detections are bit-identical to the single-device shared and roi
+    modes (tests/test_large.py::test_staged_shared_forward_multi_device).
+    """
+    big, halo = staged
+    rpb, nb, b0s = plan._band_partition(len(devices))
+    if nb == 1:  # single z-row grid: nothing to fan out
+        return plan.consume_shared(
+            plan.shared_prob((big, halo)), progress
+        )
+    fp = plan.band_pipe(rpb)
+    # zero-extend so the LAST band's forward windows stay in bounds
+    # (extension feeds only out-of-volume probs, -inf'd by the masks)
+    off = halo - plan.ctx
+    tin = fp._tin
+    _, py, px = fp.padded_shape
+    z_top = max(zs for zs, _ in fp._slabs) + tin
+    need = (off + b0s[-1] - plan.h + z_top, off + py, off + px)
+    pad_hi = [max(0, n - s) for n, s in zip(need, big.shape)]
+    if any(pad_hi):
+        big = jnp.pad(big, [(0, p) for p in pad_hi])
+    shells = []
+    for i, b0 in enumerate(b0s):
+        d = devices[i]
+        big_i = jax.device_put(big, d)
+        vars_i = jax.device_put(plan.pipe.variables, d)
+        shells.append(
+            plan.shared_prob_band(big_i, halo, b0, fp, vars_i, d)
+        )
+    return plan.consume_shared_multi(shells, rpb, progress)
 
 
 def _detect_staged_multi(plan, big, off, devices, progress):

@@ -604,8 +604,8 @@ def test_staged_shared_forward_pooled(rng):
 
 
 def test_staged_forward_mode_validation(model, rng):
-    """forward= is validated; shared+devices is rejected; auto picks
-    shared for small volumes (and stays exact)."""
+    """forward= is validated; auto picks shared for small volumes (and
+    stays exact)."""
     from flypylib_tpu.infer.large import detect_staged, make_stream_plan
 
     spec, variables = model
@@ -615,15 +615,100 @@ def test_staged_forward_mode_validation(model, rng):
     with pytest.raises(ValueError, match="forward mode"):
         detect_staged(spec, variables, vol, threshold=thr,
                       forward="nope")
-    with pytest.raises(ValueError, match="single-device"):
-        detect_staged(spec, variables, vol, threshold=thr,
-                      forward="shared", devices=jax.devices()[:2])
     common = dict(core=20, window=5, threshold=thr, method="nms")
     plan = make_stream_plan(spec, variables, vol.shape, **common)
     assert plan.shared_auto(vol.nbytes)  # tiny volume: shared fits
     got = detect_staged(spec, variables, vol, plan=plan,
                         forward="auto", **common)
     assert_same_detections(nms_host(prob, window=5, threshold=thr), got)
+
+
+@pytest.mark.parametrize("n_dev", [2, 3, 8])
+def test_staged_shared_forward_multi_device(model, rng, n_dev):
+    """forward="shared" with devices=: z-band partitioned shells, one
+    per device — detections bit-identical to the single-device shared
+    sweep AND the roi sweep, on a non-divisible shape where bands
+    overlap (shifted last band) and core boxes overhang the volume.
+    n_dev=8 exceeds the row count, exercising the band clamp."""
+    from flypylib_tpu.infer.large import detect_staged, make_stream_plan
+
+    spec, variables = model
+    vol = rng.random((45, 30, 33)).astype(np.float32)
+    prob = reference_prob(spec, variables, vol)
+    thr = float(np.quantile(prob, 0.985))
+    common = dict(core=16, window=5, threshold=thr, method="both")
+    plan = make_stream_plan(spec, variables, vol.shape, **common)
+    single = detect_staged(spec, variables, vol, plan=plan,
+                           forward="shared", **common)
+    multi = detect_staged(spec, variables, vol, plan=plan,
+                          forward="shared",
+                          devices=jax.devices()[:n_dev], **common)
+    roi = detect_staged(spec, variables, vol, plan=plan,
+                        forward="roi", **common)
+    for a, b, c in zip(single, multi, roi):
+        assert len(a) > 0
+        np.testing.assert_array_equal(a.locs, b.locs)
+        np.testing.assert_array_equal(a.conf, b.conf)
+        np.testing.assert_array_equal(a.locs, c.locs)
+        np.testing.assert_array_equal(a.conf, c.conf)
+    host = nms_host(prob, window=5, threshold=thr)
+    assert_same_detections(host, multi[0])
+
+
+def test_staged_shared_multi_device_pooled(rng):
+    """Multi-device shared mode with a pooling (U-Net) spec: band grids
+    keep the monolithic pooling phase (band_z0 - h == 0 mod
+    size_multiple), detections == single-device shared == host."""
+    import jax as _jax
+
+    from flypylib_tpu.infer.large import detect_staged, make_stream_plan
+    from flypylib_tpu.models.zoo import unet
+
+    spec = unet(base_features=2, levels=1, convs_per_stage=1)
+    variables = spec.init(_jax.random.PRNGKey(0))
+    vol = rng.random((52, 30, 34)).astype(np.float32)
+    prob = reference_prob(spec, variables, vol)
+    thr = float(np.quantile(prob, 0.99))
+    common = dict(core=16, window=3, threshold=thr, method="nms")
+    plan = make_stream_plan(spec, variables, vol.shape, **common)
+    single = detect_staged(spec, variables, vol, plan=plan,
+                           forward="shared", **common)
+    multi = detect_staged(spec, variables, vol, plan=plan,
+                          forward="shared",
+                          devices=_jax.devices()[:3], **common)
+    assert len(single) > 0
+    np.testing.assert_array_equal(single.locs, multi.locs)
+    np.testing.assert_array_equal(single.conf, multi.conf)
+    assert_same_detections(nms_host(prob, window=3, threshold=thr), multi)
+
+
+def test_staged_shared_multi_device_chunked_uint8(model, rng):
+    """Multi-device shared mode from a chunk-staged uint8 upload
+    (assembled to the monolithic form for band slicing) == roi mode."""
+    from flypylib_tpu.infer.large import (
+        detect_staged,
+        make_stream_plan,
+        stage_volume_chunked,
+    )
+
+    spec, variables = model
+    vol = (rng.random((48, 30, 33)) * 255).astype(np.uint8)
+    prob = reference_prob(
+        spec, variables, vol.astype(np.float32) * np.float32(1.0 / 255.0)
+    )
+    thr = float(np.quantile(prob, 0.99))
+    common = dict(core=16, window=3, threshold=thr, method="both")
+    plan = make_stream_plan(spec, variables, vol.shape, **common)
+    roi = detect_staged(spec, variables, vol, plan=plan,
+                        forward="roi", **common)
+    staged = stage_volume_chunked(vol, plan=plan, chunk=17)
+    multi = detect_staged(spec, variables, vol, plan=plan,
+                          staged=staged, forward="shared",
+                          devices=jax.devices()[:2], **common)
+    for a, b in zip(roi, multi):
+        assert len(a) > 0
+        np.testing.assert_array_equal(a.locs, b.locs)
+        np.testing.assert_array_equal(a.conf, b.conf)
 
 
 def test_pooled_default_core_and_tile(rng):
