@@ -203,7 +203,8 @@ class FplNetwork:
         forward when it fits HBM (no per-ROI forward redundancy), else
         per-ROI forwards — pass ``forward="roi"``/``"shared"`` to pin.
         On a multi-chip host pass ``devices=jax.local_devices()``
-        (staged roi mode only) to fan the ROI sweep over every chip."""
+        (staged mode) to fan the sweep over every chip — roi mode
+        round-robins ROIs, shared mode forwards one z-band per chip."""
         from flypylib_tpu.infer.large import (
             detect_h5,
             detect_staged,
