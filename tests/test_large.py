@@ -682,6 +682,62 @@ def test_staged_shared_multi_device_pooled(rng):
     assert_same_detections(nms_host(prob, window=3, threshold=thr), multi)
 
 
+def test_staged_shared_anisotropic_core_and_edges(model, rng):
+    """Shared mode on geometry edges: anisotropic (z, y, x) core with an
+    anisotropic window; core >= volume (single-ROI grid, where the
+    multi-device band fan-out degenerates to one band); window wider
+    than a core axis.  All == roi mode / host, bit-identically."""
+    from flypylib_tpu.infer.large import detect_staged, make_stream_plan
+
+    spec, variables = model
+    vol = rng.random((42, 31, 36)).astype(np.float32)
+    prob = reference_prob(spec, variables, vol)
+
+    # anisotropic core + window
+    thr = float(np.quantile(prob, 0.985))
+    common = dict(core=(24, 12, 16), window=(3, 5, 3), threshold=thr,
+                  method="both")
+    plan = make_stream_plan(spec, variables, vol.shape, **common)
+    roi = detect_staged(spec, variables, vol, plan=plan,
+                        forward="roi", **common)
+    shared = detect_staged(spec, variables, vol, plan=plan,
+                           forward="shared", **common)
+    multi = detect_staged(spec, variables, vol, plan=plan,
+                          forward="shared", devices=jax.devices()[:2],
+                          **common)
+    for a, b, c in zip(roi, shared, multi):
+        assert len(a) > 0
+        np.testing.assert_array_equal(a.locs, b.locs)
+        np.testing.assert_array_equal(a.conf, b.conf)
+        np.testing.assert_array_equal(a.locs, c.locs)
+        np.testing.assert_array_equal(a.conf, c.conf)
+
+    # core >= volume: one ROI; devices= degenerates to one band
+    common = dict(core=64, window=3, threshold=thr, method="nms")
+    plan = make_stream_plan(spec, variables, vol.shape, **common)
+    assert len(plan.grid) == 1
+    roi = detect_staged(spec, variables, vol, plan=plan,
+                        forward="roi", **common)
+    multi = detect_staged(spec, variables, vol, plan=plan,
+                          forward="shared", devices=jax.devices()[:4],
+                          **common)
+    assert len(roi) > 0
+    np.testing.assert_array_equal(roi.locs, multi.locs)
+    np.testing.assert_array_equal(roi.conf, multi.conf)
+    assert_same_detections(nms_host(prob, window=3, threshold=thr), multi)
+
+    # window wider than the core axis (halo > core)
+    common = dict(core=8, window=9, threshold=thr, method="nms")
+    plan = make_stream_plan(spec, variables, vol.shape, **common)
+    roi = detect_staged(spec, variables, vol, plan=plan,
+                        forward="roi", **common)
+    shared = detect_staged(spec, variables, vol, plan=plan,
+                           forward="shared", **common)
+    np.testing.assert_array_equal(roi.locs, shared.locs)
+    np.testing.assert_array_equal(roi.conf, shared.conf)
+    assert_same_detections(nms_host(prob, window=9, threshold=thr), shared)
+
+
 def test_staged_shared_multi_device_chunked_uint8(model, rng):
     """Multi-device shared mode from a chunk-staged uint8 upload
     (assembled to the monolithic form for band slicing) == roi mode."""
