@@ -268,22 +268,30 @@ def bench_train(steps: int = 100, batch: int = 32, patch: int = 33):
     labels = (rng.random((size,) * 3) > 0.999).astype(np.float32)
     mask = np.ones((size,) * 3, np.float32)
     out = {}
-    for engine, prefix in (("plain", "train"), ("packed", "train_packed")):
-        cfg = TrainConfig(patch_size=patch, batch_size=batch, augment=True,
-                          steps_per_epoch=steps, engine=engine)
+    # batch sweep finding (experiments/train_batch_probe): the packed
+    # engine peaks at batch 32 (~128 patch-Mvox/s, flat beyond); the
+    # PLAIN engine keeps scaling to batch 128 (173 patch-Mvox/s — the
+    # config-3 throughput point); report both operating points
+    for engine, prefix, bsz, n in (
+        ("plain", "train", batch, steps),
+        ("packed", "train_packed", batch, steps),
+        ("plain", "train_b128", 128, max(25, steps // 2)),
+    ):
+        cfg = TrainConfig(patch_size=patch, batch_size=bsz, augment=True,
+                          steps_per_epoch=n, engine=engine)
         _, epoch_step, pvox = make_train_step(spec, cfg)
         data = TrainData.build(image, labels, mask, pvox)
         tr = Trainer(spec, cfg, seed=0)
         state = tr.init_state()
-        keys = jax.random.split(jax.random.PRNGKey(1), steps)
+        keys = jax.random.split(jax.random.PRNGKey(1), n)
         state, m = epoch_step(state, keys, data)  # compile + warm
         float(m["loss"])
         t0 = time.perf_counter()
         state, m = epoch_step(state, keys, data)
         float(m["loss"])
         dt = time.perf_counter() - t0
-        out[f"{prefix}_steps_per_s"] = steps / dt
-        out[f"{prefix}_patch_mvox_s"] = steps * batch * pvox**3 / dt / 1e6
+        out[f"{prefix}_steps_per_s"] = n / dt
+        out[f"{prefix}_patch_mvox_s"] = n * bsz * pvox**3 / dt / 1e6
     return out
 
 
