@@ -32,7 +32,14 @@ The public API surface preserves flypylib's verbs: ``FplNetwork`` with
 from flypylib_tpu.network import FplNetwork
 from flypylib_tpu.ops.nms import nms
 from flypylib_tpu.ops.components import label_components
-from flypylib_tpu.ops.matching import evaluate, obj_pr, obj_pr_curve, voxel_pr
+from flypylib_tpu.ops.matching import (
+    evaluate,
+    obj_pr,
+    obj_pr_curve,
+    voxel_pr,
+    voxel_pr_device,
+    voxel_pr_streaming,
+)
 from flypylib_tpu.io.synapses import (
     Tbars,
     load_from_json,
@@ -54,6 +61,8 @@ __all__ = [
     "obj_pr",
     "obj_pr_curve",
     "voxel_pr",
+    "voxel_pr_device",
+    "voxel_pr_streaming",
     "Tbars",
     "load_from_json",
     "save_to_json",

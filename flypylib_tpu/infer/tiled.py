@@ -160,12 +160,26 @@ class TiledInference:
         host with double buffering.
         """
         vol = np.asarray(volume, dtype=np.float32)
-        shape = vol.shape
         c = self.ctx
+        if self.pad_mode == "none":
+            # caller passed a PRE-PADDED window (e.g. a mult-aligned slab
+            # of the monolithic reflect-padded volume, see
+            # ops/matching.voxel_pr_streaming) — output shrinks by 2*ctx
+            # per axis and the pooling phase is the caller's to align
+            shape = tuple(s - 2 * c for s in vol.shape)
+            if any(s <= 0 for s in shape):
+                raise ValueError(
+                    f"pre-padded window {vol.shape} smaller than "
+                    f"2*context={2 * c}"
+                )
+            padded = vol
+        else:
+            shape = vol.shape
         corners, out_shape = self.plan(shape)
 
         # stage 1: context halo (reflect — matches monolithic semantics)
-        padded = np.pad(vol, c, mode=self.pad_mode) if c else vol
+        if self.pad_mode != "none":
+            padded = np.pad(vol, c, mode=self.pad_mode) if c else vol
         # stage 2: zero-extend high side to the static tile grid (cropped
         # away from the result, so values are irrelevant)
         extra = [(0, os - s) for s, os in zip(shape, out_shape)]

@@ -136,3 +136,79 @@ def test_match_detections_large_uses_kdtree():
     _match_dense(pred_sorted.locs, gt.locs, 9.0, tp_ref, mi_ref)
     np.testing.assert_array_equal(tp, tp_ref)
     np.testing.assert_array_equal(mi, mi_ref)
+
+
+def _vpr_equal(a, b):
+    np.testing.assert_array_equal(a["thresholds"], b["thresholds"])
+    np.testing.assert_array_equal(a["precision"], b["precision"])
+    np.testing.assert_array_equal(a["recall"], b["recall"])
+
+
+def test_voxel_pr_device_matches_host():
+    """Device counting is integer-exact -> bitwise-equal PR dict."""
+    from flypylib_tpu.ops.matching import voxel_pr_device
+
+    rng = np.random.default_rng(7)
+    shape = (20, 18, 17)
+    prob = rng.random(shape).astype(np.float32)
+    labels = (rng.random(shape) > 0.9).astype(np.float32)
+    mask = (rng.random(shape) > 0.2).astype(np.float32)
+    # inject exact-threshold ties: >= semantics must match
+    prob.flat[::97] = np.float32(0.5)
+    for m in (None, mask):
+        _vpr_equal(voxel_pr(prob, labels, m),
+                   voxel_pr_device(prob, labels, m))
+    thr = np.asarray([0.25, 0.5, 0.75], np.float32)
+    _vpr_equal(voxel_pr(prob, labels, mask, thresholds=thr),
+               voxel_pr_device(prob, labels, mask, thresholds=thr))
+
+
+def test_voxel_pr_streaming_matches_monolithic():
+    """Slab-streamed voxel PR == voxel_pr over the monolithic forward
+    (true-data halos, reflect only at faces, tail-slab overshoot)."""
+    import jax
+
+    from flypylib_tpu.infer.tiled import infer_volume
+    from flypylib_tpu.models.zoo import baseline_model
+    from flypylib_tpu.ops.matching import voxel_pr_streaming
+
+    rng = np.random.default_rng(11)
+    spec = baseline_model(features=(2, 3), dilations=(1, 2),
+                          head_features=4)
+    variables = spec.init(jax.random.PRNGKey(0))
+    shape = (29, 22, 20)  # Z not a multiple of the slab -> shifted tail
+    vol = rng.random(shape).astype(np.float32)
+    labels = (rng.random(shape) > 0.9).astype(np.float32)
+    mask = (rng.random(shape) > 0.1).astype(np.float32)
+    ref = voxel_pr(infer_volume(spec, variables, vol), labels, mask)
+    got = voxel_pr_streaming(spec, variables, vol, labels, mask, slab=8)
+    _vpr_equal(ref, got)
+    # unmasked + reader inputs
+    from flypylib_tpu.infer.large import array_reader
+
+    ref2 = voxel_pr(infer_volume(spec, variables, vol), labels)
+    got2 = voxel_pr_streaming(
+        spec, variables, array_reader(vol), array_reader(labels), slab=12
+    )
+    _vpr_equal(ref2, got2)
+
+
+def test_voxel_pr_streaming_pooled_phase():
+    """Pooled (U-Net) streaming keeps the monolithic pooling phase: slab
+    windows are size_multiple-aligned windows of the padded volume and
+    the engine adds no second pad (pad_mode='none')."""
+    import jax
+
+    from flypylib_tpu.infer.tiled import infer_volume
+    from flypylib_tpu.models.zoo import unet
+    from flypylib_tpu.ops.matching import voxel_pr_streaming
+
+    rng = np.random.default_rng(13)
+    spec = unet(base_features=2, levels=1, convs_per_stage=1)
+    variables = spec.init(jax.random.PRNGKey(1))
+    shape = (37, 30, 26)  # odd Z: tail slab overshoots past Z
+    vol = rng.random(shape).astype(np.float32)
+    labels = (rng.random(shape) > 0.92).astype(np.float32)
+    ref = voxel_pr(infer_volume(spec, variables, vol), labels)
+    got = voxel_pr_streaming(spec, variables, vol, labels, slab=16)
+    _vpr_equal(ref, got)
