@@ -243,6 +243,44 @@ class FplNetwork:
         return _evaluate(pred_or_prob, gt, dist_thresh=dist_thresh,
                          window=window, threshold=threshold)
 
+    def evaluate_voxels(
+        self,
+        image,
+        labels,
+        mask=None,
+        thresholds=None,
+        slab: int | None = None,
+    ):
+        """Voxel-wise PR of this model's prediction against a label
+        volume (eval config 4's on-device PR evaluation, BASELINE.json:10).
+
+        Small volumes run one on-device forward + count
+        (:func:`~flypylib_tpu.ops.matching.voxel_pr_device` — the
+        probability map never leaves HBM); large ones (or any input
+        given as a ``(shape, read_fn)`` reader, e.g.
+        :func:`~flypylib_tpu.infer.large.h5_reader`) stream
+        pooling-phase-aligned z-slabs in bounded memory with identical
+        results (:func:`~flypylib_tpu.ops.matching.voxel_pr_streaming`)."""
+        from flypylib_tpu.ops.matching import (
+            voxel_pr_device,
+            voxel_pr_streaming,
+        )
+
+        is_reader = isinstance(image, tuple) and callable(image[1])
+        small = (
+            not is_reader
+            and np.asarray(image).size * 8 < 2 << 30  # prob+labels+mask f32
+            and slab is None
+        )
+        if small:
+            prob = self.infer(image, keep_on_device=True)
+            return voxel_pr_device(prob, np.asarray(labels, np.float32),
+                                   mask, thresholds=thresholds)
+        return voxel_pr_streaming(
+            self.infer_spec, self.variables, image, labels, mask=mask,
+            thresholds=thresholds, **({} if slab is None else {"slab": slab}),
+        )
+
     # -- checkpointing -----------------------------------------------------
     def save(self, path: str):
         self.trainer.save(path)

@@ -143,3 +143,27 @@ def test_detect_large_devices_passthrough(rng):
     assert len(d1) == len(dn)
     np.testing.assert_array_equal(d1.locs, dn.locs)
     np.testing.assert_array_equal(d1.conf, dn.conf)
+
+
+def test_evaluate_voxels_paths_agree(rng):
+    """FplNetwork.evaluate_voxels: device path == host voxel_pr ==
+    forced-streaming path."""
+    from flypylib_tpu.infer.large import array_reader
+    from flypylib_tpu.network import FplNetwork
+    from flypylib_tpu.ops.matching import voxel_pr
+
+    net = FplNetwork("baseline", features=(4, 6), dilations=(1, 2),
+                     head_features=8)
+    shape = (25, 22, 20)
+    vol = rng.random(shape).astype(np.float32)
+    labels = (rng.random(shape) > 0.9).astype(np.float32)
+    mask = (rng.random(shape) > 0.1).astype(np.float32)
+    ref = voxel_pr(net.infer(vol), labels, mask)
+    dev = net.evaluate_voxels(vol, labels, mask)
+    stream = net.evaluate_voxels(vol, labels, mask, slab=8)
+    reader = net.evaluate_voxels(array_reader(vol), array_reader(labels),
+                                 array_reader(mask))
+    for got in (dev, stream, reader):
+        np.testing.assert_array_equal(ref["thresholds"], got["thresholds"])
+        np.testing.assert_array_equal(ref["precision"], got["precision"])
+        np.testing.assert_array_equal(ref["recall"], got["recall"])
