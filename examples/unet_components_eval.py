@@ -63,6 +63,25 @@ def main():
         print(f"precision={curve['precision'][-1]:.3f} "
               f"recall={curve['recall'][-1]:.3f}")
 
+    # voxel-wise PR entirely on device (the probability map never
+    # leaves HBM; large volumes stream in bounded memory)
+    from flypylib_tpu.io.synapses import make_training_volumes
+
+    test_lab, test_mask = make_training_volumes(
+        test_tb, test_img.shape, radius=4, border=net.context
+    )
+    t0 = time.time()
+    vpr = net.evaluate_voxels(
+        test_img, test_lab, test_mask,
+        thresholds=np.asarray([0.3, 0.5, 0.7], np.float32),
+    )
+    print(f"voxel PR (on-device): {time.time() - t0:.1f}s  "
+          + "  ".join(
+              f"t={t:.1f}: p={p:.3f} r={r:.3f}"
+              for t, p, r in zip(vpr["thresholds"], vpr["precision"],
+                                 vpr["recall"])
+          ))
+
 
 if __name__ == "__main__":
     main()

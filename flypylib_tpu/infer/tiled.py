@@ -159,7 +159,13 @@ class TiledInference:
         input + output in HBM simultaneously — tiles are then fed from
         host with double buffering.
         """
-        vol = np.asarray(volume, dtype=np.float32)
+        vol = np.asarray(volume)
+        if vol.dtype != np.uint8:
+            # uint8 stays uint8 on the wire (4x less host->HBM traffic;
+            # uint8 -> f32/bf16 on device is exact, so results are
+            # bitwise identical to a host-side f32 cast); everything
+            # else is canonicalized to f32
+            vol = vol.astype(np.float32)
         c = self.ctx
         if self.pad_mode == "none":
             # caller passed a PRE-PADDED window (e.g. a mult-aligned slab

@@ -329,7 +329,9 @@ def voxel_pr_streaming(
         only feed outputs >= Z, which the z_hi mask discards."""
         lo, hi = w0 - ctx, w0 + sz + ctx
         clo, chi = max(0, lo), min(Z, hi)
-        win = np.asarray(read((clo, 0, 0), (chi, Y, X)), dtype=np.float32)
+        win = np.asarray(read((clo, 0, 0), (chi, Y, X)))
+        if win.dtype != np.uint8:  # uint8 rides the wire as-is (exact)
+            win = win.astype(np.float32)
         pad_lo = clo - lo
         pad_hi = min(hi, Z + ctx) - chi
         if pad_lo or pad_hi:
@@ -369,9 +371,13 @@ def voxel_pr_streaming(
                             mask is not None)
 
     def read_slab(read, w0):
-        """Label/mask rows [w0, w0+sz), zero past Z (masked out)."""
+        """Label/mask rows [w0, w0+sz), zero past Z (masked out).
+        uint8 sources stay uint8 on the wire (the > 0.5 compare is
+        exact either way)."""
         hi = min(Z, w0 + sz)
-        arr = np.asarray(read((w0, 0, 0), (hi, Y, X)), np.float32)
+        arr = np.asarray(read((w0, 0, 0), (hi, Y, X)))
+        if arr.dtype != np.uint8:
+            arr = arr.astype(np.float32)
         if hi - w0 < sz:
             arr = np.pad(arr, ((0, sz - (hi - w0)), (0, 0), (0, 0)))
         return jnp.asarray(arr)

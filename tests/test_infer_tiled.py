@@ -139,3 +139,31 @@ def test_network_default_tiling_matches_explicit(rng):
     a = net.infer(vol)
     b = net.infer(vol, tile_out=24, tile_batch=2)
     np.testing.assert_array_equal(a, b)
+
+
+def test_infer_uint8_wire_bitwise(rng):
+    """uint8 volumes ride the wire as uint8 and cast on device — results
+    bitwise equal to the host-side f32 cast (0..255 are exact in f32 and
+    bf16), for plain and packed engines and through voxel_pr_streaming."""
+    import jax
+
+    from flypylib_tpu.models.zoo import baseline_model
+    from flypylib_tpu.ops.matching import voxel_pr, voxel_pr_streaming
+    from flypylib_tpu.ops.packed_conv import packed_spec
+
+    spec = baseline_model(features=(4, 6), dilations=(1, 2),
+                          head_features=8)
+    variables = spec.init(jax.random.PRNGKey(0))
+    vol_u8 = (rng.random((26, 24, 22)) * 255).astype(np.uint8)
+    for s in (spec, packed_spec(spec)):
+        ti = TiledInference(s, variables, tile_out=16)
+        a = ti.infer(vol_u8)
+        b = ti.infer(vol_u8.astype(np.float32))
+        np.testing.assert_array_equal(a, b)
+    labels = (rng.random(vol_u8.shape) > 0.9).astype(np.float32)
+    ref = voxel_pr(TiledInference(spec, variables, tile_out=16)
+                   .infer(vol_u8.astype(np.float32)), labels)
+    got = voxel_pr_streaming(spec, variables, vol_u8, labels, slab=8,
+                             tile_out=16)
+    np.testing.assert_array_equal(ref["precision"], got["precision"])
+    np.testing.assert_array_equal(ref["recall"], got["recall"])
