@@ -605,13 +605,19 @@ class _StreamPlan:
         doesn't divide (its shell overlaps the previous band's — the
         overlapping probs are recomputed identically, and each ROI is
         still postprocessed exactly once, on its own band)."""
-        cz = self.core_dims[0]
         n_rows = len({c[0] for _, c in self.grid}) or 1
         nb = max(1, min(int(n_devices), n_rows))
         rpb = -(-n_rows // nb)  # ceil
+        b0s = self._band_starts(rpb)
+        return rpb, len(b0s), b0s
+
+    def _band_starts(self, rpb: int):
+        """Band z0s (global voxel coords) for ``rpb`` rows per band, the
+        last band shifted down to keep one uniform band extent."""
+        cz = self.core_dims[0]
+        n_rows = len({c[0] for _, c in self.grid}) or 1
         nb = -(-n_rows // rpb)
-        b0s = [min(i * rpb, n_rows - rpb) * cz for i in range(nb)]
-        return rpb, nb, b0s
+        return [min(i * rpb, n_rows - rpb) * cz for i in range(nb)]
 
     def band_pipe(self, rows_per_band: int) -> DetectPipeline:
         """Forward pipeline for one z-band (cached per band extent)."""
@@ -851,6 +857,130 @@ class _StreamPlan:
             tile_for=tile_for,
         )
         return self._band_mask_fn(fp)(shell, jnp.int32(b0 - h))
+
+    def shared_prob_band_local(self, W, b0: int, fp: DetectPipeline):
+        """Forward ONE z-band from a band-LOCAL padded window into its
+        -inf band shell (the out-of-core shared mode,
+        :func:`detect_streaming` ``forward="shared"``).
+
+        ``W`` is the band's prepared input, uploaded whole: index 0 sits
+        at global ``(b0 - h - ctx, -ctx, -ctx)`` — exactly where
+        :meth:`DetectPipeline.prepare` anchors the band volume — built
+        host-side by a single reflect pad of the read window at the true
+        volume faces plus zero grid-extension (bitwise the staged path's
+        halo + extension).  Same slab/tile executables, same write
+        order, same mask as :meth:`shared_prob_band` — probs are bitwise
+        the staged shared-band map's (test-pinned)."""
+        h = self.h
+        tin = fp._tin
+        _, py, px = fp.padded_shape
+        device = next(iter(W.devices()))
+
+        slab_for = lambda zs: _slice_window(  # noqa: E731
+            W, jnp.asarray((zs, 0, 0), jnp.int32), size=(tin, py, px)
+        )
+        tile_for = (
+            (lambda zs, c: _slice_window(
+                W,
+                jnp.asarray(
+                    (zs + int(c[0]), int(c[1]), int(c[2])), jnp.int32
+                ),
+                size=(tin, tin, tin),
+            ))
+            if fp._split_write
+            else None
+        )
+        shell = fp.forward_slabs(
+            slab_for, out=self._band_shell_init(fp, device),
+            offset=(0, h, h), tile_for=tile_for,
+        )
+        return self._band_mask_fn(fp)(shell, jnp.int32(b0 - h))
+
+    def band_rpb(self, itemsize: int = 4, cost_gate: bool = True):
+        """Rows-per-band for the out-of-core shared forward, or ``None``
+        when no band fits (or, with ``cost_gate``, when the shared grid
+        wouldn't actually cut conv voxels vs the per-ROI sweep).
+
+        Picks the LARGEST rows-per-band whose peak HBM fits the chip:
+        fewer bands mean fewer z-seam halo re-forwards and fewer
+        dispatches.  The budget holds TWO band shells (the previous
+        band's postprocess dispatches may still be in flight when the
+        next band's forward dispatches) + two band input windows (one
+        computing, one uploading behind it) + forward activations."""
+        from flypylib_tpu.infer.tiled import tiling_regime
+
+        n_rows = len({c[0] for _, c in self.grid}) or 1
+        cover = tiling_regime(self.pipe.spec) == "cover"
+        for rpb in range(n_rows, 0, -1):
+            nb = -(-n_rows // rpb)
+            if -(-n_rows // nb) != rpb:
+                continue  # non-canonical count: nb bands rebalance lower
+            fp = self.band_pipe(rpb)
+            shell = 4 * int(np.prod(self._band_shell_shape(fp)))
+            z_top = max(zs for zs, _ in fp._slabs) + fp._tin
+            _, py, px = fp.padded_shape
+            wbytes = int(itemsize) * z_top * py * px
+            act = (
+                int(self.act_bytes_per_voxel * fp._tin**3)
+                if cover
+                else (2 << 30)  # conv stacks chunk stage A to ~1.5 GB
+            )
+            if 2 * shell + 2 * wbytes + act + (1 << 29) > (61 << 28):
+                continue
+            if cover and cost_gate:
+                # same reward gate as shared_auto: go shared only when
+                # the band grids cut conv voxels vs the per-ROI sweep
+                n_sh = nb * sum(
+                    local.shape[0] * local.shape[1]
+                    for _, local in fp._slabs
+                )
+                n_roi = sum(
+                    local.shape[0] * local.shape[1]
+                    for _, local in self.pipe._slabs
+                )
+                cost_sh = n_sh * fp._tin**3
+                cost_roi = len(self.grid) * n_roi * self.pipe._tin**3
+                if cost_sh > 0.85 * cost_roi:
+                    return None
+            return rpb
+        return None
+
+    def consume_shared_stream(self, shell_for, rpb: int, progress=None):
+        """:meth:`consume_shared` over LAZILY built per-band shells (the
+        out-of-core shared mode): ``shell_for(band, b0)`` runs once per
+        band, in grid z-row order, when the band's first ROI dispatches.
+        The previous band's shell reference drops as soon as its last
+        ROI postprocess has DISPATCHED (in-order device execution frees
+        it once those dispatches drain; saturation-retry closures keep
+        it alive through their collection window), so at most ~two band
+        shells are ever held — the budget :meth:`band_rpb` sizes for.
+        Grid order is preserved, so the merge — and the detection
+        ordering — is identical to the single-shell sweep."""
+        from collections import deque
+
+        b0s = self._band_starts(rpb)
+        nb = len(b0s)
+        self._all_locs, self._all_conf = [], []
+        self._cc_rois = {}
+        window = max(self.pipeline_window, 8)
+        pend: deque = deque()
+        cur, shell = -1, None
+        for key, corner in self.grid:
+            band = min(key[0] // rpb, nb - 1)
+            if band != cur:
+                shell = shell_for(band, b0s[band])
+                cur = band
+            local = (corner[0] - b0s[band], corner[1], corner[2])
+            pend.append(
+                self._dispatch_shared(key, corner, shell,
+                                      corner_local=local)
+            )
+            if len(pend) >= window:
+                self._collect(pend.popleft(), progress)
+        shell = None
+        while pend:
+            self._collect(pend.popleft(), progress)
+        return self._finalize()
 
     def shared_auto(self, staged_bytes: int, n_devices: int = 1) -> bool:
         """True when the shared forward's peak HBM (the -inf shell the
@@ -1622,6 +1752,7 @@ def detect_streaming(
     cc_impl: str = "sparse",
     progress=None,
     plan: "_StreamPlan | None" = None,
+    forward: str = "auto",
 ):
     """Exact streaming detection over an arbitrarily large volume.
 
@@ -1639,7 +1770,32 @@ def detect_streaming(
     ``plan`` (from :func:`make_stream_plan`) reuses the compiled engine
     across calls — each fresh plan re-jits the forward/postprocess, which
     costs minutes of XLA compile on repeated invocations.
+
+    ``forward`` selects how probability maps are produced (the
+    out-of-core analog of :func:`detect_staged`'s modes):
+
+    * ``"roi"`` — each ROI fetches + forwards its own halo-padded block
+      (bounded HBM and host memory, the most conservative mode);
+    * ``"shared"`` — the volume is processed in z-BANDS of whole ROI
+      rows: each band's input window is read once, forwarded once
+      through the cost-optimal shared tile grid into a band-local
+      -inf-shelled prob map, and the band's ROI postprocesses run as
+      traced windows over it.  Deletes the per-ROI forward redundancy
+      (covering-tile overlap ~2.5x for pooling models at 1k^3) AND the
+      per-ROI host re-read of overlapping halo windows, while staying
+      bounded: only ~two band shells + one band window are ever
+      resident (:meth:`_StreamPlan.band_rpb`);
+    * ``"auto"`` (default) — ``"shared"`` when a band height fits the
+      chip budget and (for covering-tile models) the shared grid
+      actually cuts conv voxels, else ``"roi"``.
+
+    Detections are identical across modes — same monolithic-semantics
+    probs (single reflect pad at the true volume faces), same
+    postprocess, same merge order (pinned by
+    tests/test_large.py::test_streaming_shared_*).
     """
+    if forward not in ("roi", "shared", "auto"):
+        raise ValueError(f"unknown forward mode {forward!r}")
     if plan is None:
         plan = make_stream_plan(
             spec, variables, shape,
@@ -1658,6 +1814,25 @@ def detect_streaming(
     pipe = plan.pipe
     fetch_halo = plan.fetch_halo
     core_dims = plan.core_dims
+
+    if forward != "roi" and min(shape) > fetch_halo:
+        # the band window's single reflect pad needs every pad amount
+        # under the read extent; volumes at/below the fetch halo stay
+        # on the roi path (prep() handles them ROI by ROI)
+        probe = np.asarray(read_fn((0, 0, 0), (1, 1, 1)))
+        itemsize = 1 if probe.dtype == np.uint8 else 4
+        rpb = plan.band_rpb(itemsize=itemsize,
+                            cost_gate=(forward == "auto"))
+    else:
+        rpb = None
+    if forward == "shared" and rpb is None:
+        raise ValueError(
+            "shared streaming forward does not fit this chip/geometry "
+            "(no band height passes the HBM budget, or the volume is "
+            "smaller than the fetch halo); use forward='roi'"
+        )
+    if rpb is not None:
+        return _detect_streaming_shared(plan, read_fn, rpb, progress)
 
     def prep(corner):
         """Fetch + reflect-pad one ROI block (host work, prefetchable)."""
@@ -1703,6 +1878,86 @@ def detect_streaming(
             yield key, corner, pipe.forward(block), lo_want, vlo, vhi
 
     return plan.consume(outs(), progress)
+
+
+def _band_window_np(plan, fp, read_fn, b0: int):
+    """Host-side band input window for the out-of-core shared forward.
+
+    Bitwise the slice the STAGED shared path's tiles read from the
+    staged ``big`` array at global anchor ``(b0 - h - ctx, -ctx, -ctx)``:
+    ``big`` is the volume reflect-padded by ``fetch_halo = h + ctx`` at
+    every true face, zero grid-extension beyond — so the window reflects
+    at most ``fetch_halo`` past a face and zero-fills the rest.  The full
+    ``fetch_halo`` back-reflect matters: pooled (ConvTranspose) models
+    have per-voxel parity reach beyond ``ctx``, so in-volume probs near
+    a face genuinely read the ``[v, v + fetch_halo)`` reflect band
+    (ctx-only reflect there changes detections — test-pinned)."""
+    h, ctx = plan.h, plan.ctx
+    fh = h + ctx  # == plan.fetch_halo
+    vz, vy, vx = plan.shape
+    z_top = max(zs for zs, _ in fp._slabs) + fp._tin
+    _, py, px = fp.padded_shape
+    zlo = b0 - h - ctx  # >= -fh, so the front reflect always fits
+    clo, chi = max(0, zlo), min(vz, zlo + z_top)
+    block = np.asarray(read_fn((clo, 0, 0), (chi, vy, vx)))
+    if block.dtype != np.uint8:
+        block = block.astype(np.float32)
+    block = np.pad(
+        block,
+        [
+            (clo - zlo, min(max(0, zlo + z_top - vz), fh)),
+            (ctx, min(max(0, py - ctx - vy), fh)),
+            (ctx, min(max(0, px - ctx - vx), fh)),
+        ],
+        mode="reflect",
+    )
+    return np.pad(
+        block,
+        [(0, z_top - block.shape[0]), (0, py - block.shape[1]),
+         (0, px - block.shape[2])],
+    )
+
+
+def _detect_streaming_shared(plan, read_fn, rpb: int, progress):
+    """Out-of-core shared forward: z-bands of whole ROI rows, each read
+    once, forwarded once into a band shell, postprocessed per ROI.
+
+    Each band window is the array :meth:`DetectPipeline.prepare` would
+    produce for the band volume — read clipped to the true volume, ONE
+    reflect pad continuing it past the faces (monolithic semantics; the
+    same single-reflect rule as the roi path's ``prep``), zero
+    grid-extension — so the band probs are bitwise the staged shared
+    path's.  A prefetch thread reads band *i*+1 while band *i* forwards
+    and postprocesses; at most two band shells + one uploaded window are
+    resident (:meth:`_StreamPlan.band_rpb`'s budget)."""
+    fp = plan.band_pipe(rpb)
+    b0s = plan._band_starts(rpb)
+
+    def band_window(b0):
+        return _band_window_np(plan, fp, read_fn, b0)
+
+    import queue as _queue
+    import threading
+
+    fetched: _queue.Queue = _queue.Queue(maxsize=1)
+
+    def producer():
+        for b0 in b0s:
+            try:
+                fetched.put((band_window(b0), None))
+            except Exception as e:  # surface on the consumer side
+                fetched.put((None, e))
+                return
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    def shell_for(band, b0):
+        W, err = fetched.get()
+        if err is not None:
+            raise RuntimeError(f"band z0={b0}: fetch failed") from err
+        return plan.shared_prob_band_local(jax.device_put(W), b0, fp)
+
+    return plan.consume_shared_stream(shell_for, rpb, progress)
 
 
 def detect_staged(

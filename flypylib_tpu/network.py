@@ -198,10 +198,11 @@ class FplNetwork:
         path, or a ``(shape, read_fn)`` pair.  ``staged=True`` keeps the
         whole volume HBM-resident and slices ROIs on device (the
         chip-bound mode; default for in-RAM volumes that fit), else ROIs
-        stream over the wire / from disk with bounded memory.  Staged
-        mode defaults to ``forward="auto"``: ONE shared whole-volume
-        forward when it fits HBM (no per-ROI forward redundancy), else
-        per-ROI forwards — pass ``forward="roi"``/``"shared"`` to pin.
+        stream over the wire / from disk with bounded memory.  Both
+        modes default to ``forward="auto"``: ONE shared forward per
+        volume (staged) or per z-band of ROI rows (streaming) when it
+        fits HBM — no per-ROI forward redundancy — else per-ROI
+        forwards; pass ``forward="roi"``/``"shared"`` to pin.
         On a multi-chip host pass ``devices=jax.local_devices()``
         (staged mode) to fan the sweep over every chip — roi mode
         round-robins ROIs, shared mode forwards one z-band per chip."""

@@ -815,3 +815,150 @@ def test_pooled_default_core_and_tile(rng):
         spec, variables, vol, window=3, threshold=thr, plan=plan,
     )
     assert_same_detections(got, got2)
+
+
+@pytest.mark.parametrize(
+    "method,cc_impl",
+    [("nms", "sparse"), ("both", "sparse"), ("components", "device")],
+)
+def test_streaming_shared_bit_identical(model, rng, method, cc_impl):
+    """Out-of-core shared forward (detect_streaming forward="shared")
+    == the roi sweep bit-identically, for every method/backend combo,
+    on a non-divisible shape (core boxes overhang the volume)."""
+    from flypylib_tpu.infer.large import make_stream_plan
+
+    spec, variables = model
+    vol = rng.random((45, 38, 41)).astype(np.float32)
+    prob = reference_prob(spec, variables, vol)
+    thr = float(np.quantile(prob, 0.985))
+    common = dict(core=20, window=5, threshold=thr, method=method,
+                  cc_impl=cc_impl)
+    shape, read = array_reader(vol)
+    plan = make_stream_plan(spec, variables, shape, **common)
+    roi = detect_streaming(spec, variables, shape, read, plan=plan,
+                           forward="roi", **common)
+    shared = detect_streaming(spec, variables, shape, read, plan=plan,
+                              forward="shared", **common)
+    pairs = zip(roi, shared) if method == "both" else [(roi, shared)]
+    for a, b in pairs:
+        assert len(a) > 0
+        np.testing.assert_array_equal(a.locs, b.locs)
+        np.testing.assert_array_equal(a.conf, b.conf)
+    if method in ("nms", "both"):
+        host = nms_host(prob, window=5, threshold=thr)
+        assert_same_detections(
+            host, shared[0] if method == "both" else shared
+        )
+    if method in ("components", "both"):
+        host = components_host(prob, threshold=thr)
+        assert_same_detections(
+            host, shared[1] if method == "both" else shared,
+            loc_tol=1e-3,
+        )
+
+
+def test_streaming_shared_multi_band(model, rng):
+    """Forced one-row bands (band_rpb=1): per-band windows with reflect
+    halos + band-local shells still reproduce the roi sweep and the
+    host reference bitwise — the z-seam semantics of the band split."""
+    from flypylib_tpu.infer.large import make_stream_plan
+
+    spec, variables = model
+    vol = rng.random((58, 38, 41)).astype(np.float32)
+    prob = reference_prob(spec, variables, vol)
+    thr = float(np.quantile(prob, 0.985))
+    common = dict(core=20, window=3, threshold=thr, method="both")
+    shape, read = array_reader(vol)
+    plan = make_stream_plan(spec, variables, shape, **common)
+    assert len({c[0] for _, c in plan.grid}) >= 3  # several z rows
+    plan.band_rpb = lambda **kw: 1  # force one band per z row
+    roi = detect_streaming(spec, variables, shape, read, plan=plan,
+                           forward="roi", **common)
+    shared = detect_streaming(spec, variables, shape, read, plan=plan,
+                              forward="shared", **common)
+    for a, b in zip(roi, shared):
+        assert len(a) > 0
+        np.testing.assert_array_equal(a.locs, b.locs)
+        np.testing.assert_array_equal(a.conf, b.conf)
+    assert_same_detections(nms_host(prob, window=3, threshold=thr),
+                           shared[0])
+
+
+@pytest.mark.parametrize("rpb", [None, 1])
+def test_streaming_shared_pooled(rng, rpb):
+    """Pooled (U-Net) specs through the out-of-core shared forward:
+    ConvTranspose parity reach makes in-volume probs near a face read
+    the full fetch_halo reflect band — the band window must reflect
+    fetch_halo (not ctx) past the true faces, then zero-extend
+    (regression pin for the band-window padding rule)."""
+    import jax
+
+    from flypylib_tpu.infer.large import make_stream_plan
+    from flypylib_tpu.models.zoo import unet
+
+    spec = unet(base_features=2, levels=1, convs_per_stage=1)
+    variables = spec.init(jax.random.PRNGKey(0))
+    # even extents: the pooled module's monolithic output (the host
+    # reference) drops the last plane on odd extents, so only even
+    # shapes are host-comparable; cores still overhang (48 > 42/46)
+    vol = rng.random((52, 42, 46)).astype(np.float32)
+    prob = reference_prob(spec, variables, vol)
+    thr = float(np.quantile(prob, 0.99))
+    common = dict(core=24, window=3, threshold=thr, method="nms")
+    shape, read = array_reader(vol)
+    plan = make_stream_plan(spec, variables, shape, **common)
+    if rpb is not None:
+        plan.band_rpb = lambda **kw: rpb
+    roi = detect_streaming(spec, variables, shape, read, plan=plan,
+                           forward="roi", **common)
+    shared = detect_streaming(spec, variables, shape, read, plan=plan,
+                              forward="shared", **common)
+    assert len(roi) > 0
+    np.testing.assert_array_equal(roi.locs, shared.locs)
+    np.testing.assert_array_equal(roi.conf, shared.conf)
+    assert_same_detections(nms_host(prob, window=3, threshold=thr),
+                           shared)
+
+
+def test_streaming_shared_uint8_reader(model, rng):
+    """uint8 readers ride the shared band path (uint8 wire windows,
+    device cast) and match the roi sweep bitwise."""
+    from flypylib_tpu.infer.large import make_stream_plan
+
+    spec, variables = model
+    vol = (rng.random((45, 38, 41)) * 255).astype(np.uint8)
+    shape, read = array_reader(vol)
+    prob = reference_prob(
+        spec, variables, vol.astype(np.float32) * np.float32(1.0 / 255.0)
+    )
+    thr = float(np.quantile(prob, 0.99))
+    common = dict(core=20, window=3, threshold=thr, method="nms")
+    plan = make_stream_plan(spec, variables, shape, **common)
+    roi = detect_streaming(spec, variables, shape, read, plan=plan,
+                           forward="roi", **common)
+    shared = detect_streaming(spec, variables, shape, read, plan=plan,
+                              forward="shared", **common)
+    assert len(roi) > 0
+    np.testing.assert_array_equal(roi.locs, shared.locs)
+    np.testing.assert_array_equal(roi.conf, shared.conf)
+
+
+def test_streaming_forward_mode_validation(model, rng):
+    """forward= is validated; volumes at/below the fetch halo refuse
+    forward="shared" with guidance (and auto falls back to roi)."""
+    spec, variables = model
+    vol = rng.random((8, 8, 8)).astype(np.float32)
+    prob = reference_prob(spec, variables, vol)
+    thr = float(np.quantile(prob, 0.9))
+    shape, read = array_reader(vol)
+    with pytest.raises(ValueError, match="forward mode"):
+        detect_streaming(spec, variables, shape, read, core=8,
+                         threshold=thr, forward="nope")
+    # default window=5 makes fetch_halo 8 == min(shape): band windows
+    # can't single-reflect, so forward="shared" must refuse with guidance
+    with pytest.raises(ValueError, match="forward='roi'"):
+        detect_streaming(spec, variables, shape, read, core=8,
+                         threshold=thr, forward="shared")
+    got = detect_streaming(spec, variables, shape, read, core=8, window=3,
+                           threshold=thr, forward="auto")
+    assert_same_detections(nms_host(prob, window=3, threshold=thr), got)
