@@ -11,9 +11,13 @@ Usage: python experiments/ooc_stream_1k.py [--model conv|unet] [--size 1024]
 """
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 

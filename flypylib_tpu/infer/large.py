@@ -858,7 +858,8 @@ class _StreamPlan:
         )
         return self._band_mask_fn(fp)(shell, jnp.int32(b0 - h))
 
-    def shared_prob_band_local(self, W, b0: int, fp: DetectPipeline):
+    def shared_prob_band_local(self, W, b0: int, fp: DetectPipeline,
+                               variables=None):
         """Forward ONE z-band from a band-LOCAL padded window into its
         -inf band shell (the out-of-core shared mode,
         :func:`detect_streaming` ``forward="shared"``).
@@ -870,7 +871,10 @@ class _StreamPlan:
         volume faces plus zero grid-extension (bitwise the staged path's
         halo + extension).  Same slab/tile executables, same write
         order, same mask as :meth:`shared_prob_band` — probs are bitwise
-        the staged shared-band map's (test-pinned)."""
+        the staged shared-band map's (test-pinned).  ``variables``
+        overrides the plan's params (pass a copy committed to ``W``'s
+        device when fanning bands over several local chips); the shell
+        and every dispatch follow ``W``'s device."""
         h = self.h
         tin = fp._tin
         _, py, px = fp.padded_shape
@@ -891,7 +895,8 @@ class _StreamPlan:
             else None
         )
         shell = fp.forward_slabs(
-            slab_for, out=self._band_shell_init(fp, device),
+            slab_for, variables=variables,
+            out=self._band_shell_init(fp, device),
             offset=(0, h, h), tile_for=tile_for,
         )
         return self._band_mask_fn(fp)(shell, jnp.int32(b0 - h))
@@ -927,9 +932,15 @@ class _StreamPlan:
             )
             if 2 * shell + 2 * wbytes + act + (1 << 29) > (61 << 28):
                 continue
-            if cover and cost_gate:
-                # same reward gate as shared_auto: go shared only when
-                # the band grids cut conv voxels vs the per-ROI sweep
+            if cost_gate:
+                # reward gate (BOTH regimes): the roi sweep hides its
+                # reads/uploads behind compute via per-ROI prefetch, so
+                # shared must buy a real conv-voxel cut to win.  Cover
+                # grids (~2.5x per-ROI overlap at 1k^3) pass easily;
+                # conv-stack grids at production cores save only
+                # ~6-12% and lose the overlap — measured 12.7 vs 32.2
+                # Mvox/s through the sandbox tunnel at core 512
+                # (experiments/ooc_stream_1k.jsonl) — so they stay roi.
                 n_sh = nb * sum(
                     local.shape[0] * local.shape[1]
                     for _, local in fp._slabs
@@ -945,7 +956,8 @@ class _StreamPlan:
             return rpb
         return None
 
-    def consume_shared_stream(self, shell_for, rpb: int, progress=None):
+    def consume_shared_stream(self, shell_for, rpb: int, progress=None,
+                              n_devices: int = 1):
         """:meth:`consume_shared` over LAZILY built per-band shells (the
         out-of-core shared mode): ``shell_for(band, b0)`` runs once per
         band, in grid z-row order, when the band's first ROI dispatches.
@@ -953,16 +965,19 @@ class _StreamPlan:
         ROI postprocess has DISPATCHED (in-order device execution frees
         it once those dispatches drain; saturation-retry closures keep
         it alive through their collection window), so at most ~two band
-        shells are ever held — the budget :meth:`band_rpb` sizes for.
-        Grid order is preserved, so the merge — and the detection
-        ordering — is identical to the single-shell sweep."""
+        shells are ever held PER DEVICE — the budget :meth:`band_rpb`
+        sizes for.  With ``n_devices > 1`` (bands round-robined over
+        chips by the caller) the dispatch-ahead window scales by the
+        device count so every chip keeps its pipeline full.  Grid order
+        is preserved, so the merge — and the detection ordering — is
+        identical to the single-shell sweep."""
         from collections import deque
 
         b0s = self._band_starts(rpb)
         nb = len(b0s)
         self._all_locs, self._all_conf = [], []
         self._cc_rois = {}
-        window = max(self.pipeline_window, 8)
+        window = max(self.pipeline_window, 8) * max(1, int(n_devices))
         pend: deque = deque()
         cur, shell = -1, None
         for key, corner in self.grid:
@@ -1753,6 +1768,7 @@ def detect_streaming(
     progress=None,
     plan: "_StreamPlan | None" = None,
     forward: str = "auto",
+    devices=None,
 ):
     """Exact streaming detection over an arbitrarily large volume.
 
@@ -1786,16 +1802,29 @@ def detect_streaming(
       bounded: only ~two band shells + one band window are ever
       resident (:meth:`_StreamPlan.band_rpb`);
     * ``"auto"`` (default) — ``"shared"`` when a band height fits the
-      chip budget and (for covering-tile models) the shared grid
-      actually cuts conv voxels, else ``"roi"``.
+      chip budget AND the banded grid cuts conv voxels by >15% vs the
+      per-ROI sweep (covering-tile/pooling models at production cores;
+      conv-stack grids save only ~6-12% and keep roi's prefetch
+      overlap instead — measured in experiments/ooc_stream_1k.jsonl),
+      else ``"roi"``.
 
     Detections are identical across modes — same monolithic-semantics
     probs (single reflect pad at the true volume faces), same
     postprocess, same merge order (pinned by
     tests/test_large.py::test_streaming_shared_*).
+
+    ``devices`` (e.g. ``jax.local_devices()``) fans the out-of-core
+    sweep over several local chips: roi mode round-robins the per-ROI
+    forwards (params replicated once per device), shared mode
+    round-robins whole z-bands (band height still sized for ONE chip's
+    budget, split further so every device gets work when possible).
+    The host-side read thread and the merge are unchanged, so
+    detections stay bit-identical to the single-device sweep
+    (tests/test_large.py::test_streaming_multi_device*).
     """
     if forward not in ("roi", "shared", "auto"):
         raise ValueError(f"unknown forward mode {forward!r}")
+    multi = devices is not None and len(devices) > 1
     if plan is None:
         plan = make_stream_plan(
             spec, variables, shape,
@@ -1832,7 +1861,12 @@ def detect_streaming(
             "smaller than the fetch halo); use forward='roi'"
         )
     if rpb is not None:
-        return _detect_streaming_shared(plan, read_fn, rpb, progress)
+        if multi:
+            # split bands further (never beyond one chip's budget) so
+            # every device gets work; _band_starts rebalances any rpb
+            rpb = min(rpb, plan._band_partition(len(devices))[0])
+        return _detect_streaming_shared(plan, read_fn, rpb, progress,
+                                        devices if multi else None)
 
     def prep(corner):
         """Fetch + reflect-pad one ROI block (host work, prefetchable)."""
@@ -1857,7 +1891,11 @@ def detect_streaming(
     import queue as _queue
     import threading
 
-    fetched: _queue.Queue = _queue.Queue(maxsize=2)
+    # prefetch depth: one block ahead single-device; enough to keep
+    # every chip fed when the sweep round-robins over devices
+    fetched: _queue.Queue = _queue.Queue(
+        maxsize=(len(devices) + 1) if multi else 2
+    )
 
     def producer():
         for key, corner in plan.grid:
@@ -1868,6 +1906,39 @@ def detect_streaming(
                 return
 
     threading.Thread(target=producer, daemon=True).start()
+
+    if multi:
+        # round-robin the per-ROI forwards over the local chips: the
+        # prepared block is committed whole to its device and forwarded
+        # there with device-committed params (forward_from is bitwise
+        # forward_staged on the same data — pinned); postprocess
+        # dispatches follow the map's device, the merge is unchanged
+        varss = [jax.device_put(pipe.variables, d) for d in devices]
+        n = len(devices)
+        window_save = plan.pipeline_window
+        plan.pipeline_window = max(window_save * n, n + 1)
+        try:
+
+            def outs_multi():
+                for i in range(len(plan.grid)):
+                    key, corner, prepped, err = fetched.get()
+                    if err is not None:
+                        raise RuntimeError(
+                            f"ROI {corner}: fetch failed"
+                        ) from err
+                    block, lo_want, vlo, vhi = prepped
+                    j = i % n
+                    big_j = jax.device_put(pipe.prepare(block), devices[j])
+                    yield (
+                        key, corner,
+                        pipe.forward_from(big_j, (0, 0, 0),
+                                          variables=varss[j]),
+                        lo_want, vlo, vhi,
+                    )
+
+            return plan.consume(outs_multi(), progress)
+        finally:
+            plan.pipeline_window = window_save
 
     def outs():
         for _ in plan.grid:
@@ -1918,7 +1989,8 @@ def _band_window_np(plan, fp, read_fn, b0: int):
     )
 
 
-def _detect_streaming_shared(plan, read_fn, rpb: int, progress):
+def _detect_streaming_shared(plan, read_fn, rpb: int, progress,
+                             devices=None):
     """Out-of-core shared forward: z-bands of whole ROI rows, each read
     once, forwarded once into a band shell, postprocessed per ROI.
 
@@ -1929,9 +2001,18 @@ def _detect_streaming_shared(plan, read_fn, rpb: int, progress):
     grid-extension — so the band probs are bitwise the staged shared
     path's.  A prefetch thread reads band *i*+1 while band *i* forwards
     and postprocesses; at most two band shells + one uploaded window are
-    resident (:meth:`_StreamPlan.band_rpb`'s budget)."""
+    resident PER DEVICE (:meth:`_StreamPlan.band_rpb`'s budget).  With
+    ``devices`` the bands round-robin over the chips (params replicated
+    once per device, each ROI postprocess dispatched on its band's
+    device); grid order — and therefore the merge — is unchanged."""
     fp = plan.band_pipe(rpb)
     b0s = plan._band_starts(rpb)
+    n = len(devices) if devices else 1
+    varss = (
+        [jax.device_put(plan.pipe.variables, d) for d in devices]
+        if devices
+        else None
+    )
 
     def band_window(b0):
         return _band_window_np(plan, fp, read_fn, b0)
@@ -1939,7 +2020,10 @@ def _detect_streaming_shared(plan, read_fn, rpb: int, progress):
     import queue as _queue
     import threading
 
-    fetched: _queue.Queue = _queue.Queue(maxsize=1)
+    # prefetch depth n: with several chips, up to n band windows ride
+    # ahead so every device's forward can dispatch without waiting on
+    # the (serial) host read thread
+    fetched: _queue.Queue = _queue.Queue(maxsize=n)
 
     def producer():
         for b0 in b0s:
@@ -1955,9 +2039,16 @@ def _detect_streaming_shared(plan, read_fn, rpb: int, progress):
         W, err = fetched.get()
         if err is not None:
             raise RuntimeError(f"band z0={b0}: fetch failed") from err
+        if devices:
+            j = band % n
+            return plan.shared_prob_band_local(
+                jax.device_put(W, devices[j]), b0, fp,
+                variables=varss[j],
+            )
         return plan.shared_prob_band_local(jax.device_put(W), b0, fp)
 
-    return plan.consume_shared_stream(shell_for, rpb, progress)
+    return plan.consume_shared_stream(shell_for, rpb, progress,
+                                      n_devices=n)
 
 
 def detect_staged(

@@ -962,3 +962,63 @@ def test_streaming_forward_mode_validation(model, rng):
     got = detect_streaming(spec, variables, shape, read, core=8, window=3,
                            threshold=thr, forward="auto")
     assert_same_detections(nms_host(prob, window=3, threshold=thr), got)
+
+
+@pytest.mark.parametrize("n_dev", [2, 3])
+def test_streaming_multi_device(model, rng, n_dev):
+    """detect_streaming(devices=): roi mode round-robins per-ROI
+    forwards, shared mode round-robins z-bands — both bit-identical to
+    the single-device sweep on a non-divisible shape."""
+    from flypylib_tpu.infer.large import make_stream_plan
+
+    spec, variables = model
+    vol = rng.random((45, 30, 33)).astype(np.float32)
+    prob = reference_prob(spec, variables, vol)
+    thr = float(np.quantile(prob, 0.985))
+    common = dict(core=16, window=5, threshold=thr, method="both")
+    shape, read = array_reader(vol)
+    plan = make_stream_plan(spec, variables, shape, **common)
+    single = detect_streaming(spec, variables, shape, read, plan=plan,
+                              forward="roi", **common)
+    roi_multi = detect_streaming(spec, variables, shape, read, plan=plan,
+                                 forward="roi",
+                                 devices=jax.devices()[:n_dev], **common)
+    sh_multi = detect_streaming(spec, variables, shape, read, plan=plan,
+                                forward="shared",
+                                devices=jax.devices()[:n_dev], **common)
+    for a, b, c in zip(single, roi_multi, sh_multi):
+        assert len(a) > 0
+        np.testing.assert_array_equal(a.locs, b.locs)
+        np.testing.assert_array_equal(a.conf, b.conf)
+        np.testing.assert_array_equal(a.locs, c.locs)
+        np.testing.assert_array_equal(a.conf, c.conf)
+    host = nms_host(prob, window=5, threshold=thr)
+    assert_same_detections(host, sh_multi[0])
+
+
+def test_streaming_multi_device_pooled(rng):
+    """Multi-device out-of-core shared bands with a pooling spec: band
+    anchors keep the monolithic pooling phase and the band windows'
+    fetch_halo reflect rule holds on every device."""
+    import jax as _jax
+
+    from flypylib_tpu.infer.large import make_stream_plan
+    from flypylib_tpu.models.zoo import unet
+
+    spec = unet(base_features=2, levels=1, convs_per_stage=1)
+    variables = spec.init(_jax.random.PRNGKey(0))
+    vol = rng.random((52, 42, 46)).astype(np.float32)
+    prob = reference_prob(spec, variables, vol)
+    thr = float(np.quantile(prob, 0.99))
+    common = dict(core=24, window=3, threshold=thr, method="nms")
+    shape, read = array_reader(vol)
+    plan = make_stream_plan(spec, variables, shape, **common)
+    single = detect_streaming(spec, variables, shape, read, plan=plan,
+                              forward="roi", **common)
+    multi = detect_streaming(spec, variables, shape, read, plan=plan,
+                             forward="shared",
+                             devices=_jax.devices()[:2], **common)
+    assert len(single) > 0
+    np.testing.assert_array_equal(single.locs, multi.locs)
+    np.testing.assert_array_equal(single.conf, multi.conf)
+    assert_same_detections(nms_host(prob, window=3, threshold=thr), multi)
