@@ -56,24 +56,39 @@ def parity_group_max(x: jax.Array) -> jax.Array:
     return x.reshape(b, d, h, w, 8, c8 // 8).max(axis=4)
 
 
-def pool_pack(x: jax.Array) -> jax.Array:
-    """``pack_volume(parity_group_max(x))`` without the pack transpose.
+def pool_pack(x: jax.Array, grad_exact: bool = False) -> jax.Array:
+    """``pack_volume(parity_group_max(x))`` — the U-Net's per-level
+    pool+repack — with max and repack forms picked for TPU layouts.
 
-    The composition is the U-Net's per-level pool+repack; as written it
-    cost 8.5 ms/level-0 (vs 11.1 for BOTH encoder convs) — the
-    ``pack_volume`` reshape/transpose is lane-hostile on TPU
-    (experiments/unet_prefix.jsonl).  Here the packed result is built
-    from 8 STRIDED SLICES of the pooled tensor (channel dim stays
-    contiguous/minor, same trick as :func:`crop_packed`), concatenated
-    parity-major — bitwise identical output.
+    Values are bitwise identical across every form (max is exactly
+    associative); the forms differ ONLY in speed and tie-gradient
+    splitting:
+
+    - max: a channel-slice ``jnp.maximum`` tree (no ``(..., 8, C)``
+      reshape — the minor-dim split to C=24 lanes is pad-hostile).
+      With ``grad_exact=True`` the :func:`parity_group_max` reduce is
+      used instead, whose cotangent splits ties exactly like the plain
+      engine's pool (the maximum chain orders ties differently; ReLU
+      activations tie at 0.0 often, and the packed==plain TRAINING
+      equality is test-pinned) — :meth:`PackedUNet.forward_train` sets
+      it.
+    - repack: :func:`pack_volume_iv` per-axis slices.  The previous
+      form (8 triple-strided slices, one per parity) was the round-3
+      fix at t128b2 but is PATHOLOGICAL at covering-tile shapes: 219 ms
+      at tin 388 — 43% of the whole forward — vs ~35 for this form
+      (experiments/pool_probe.jsonl; even the one-shot 8-D transpose
+      beats the triple-strided slices there).
     """
-    m = parity_group_max(x)  # (B, D, H, W, C) dense at the coarse lattice
-    if any(s % 2 for s in m.shape[1:4]):
-        raise ValueError(f"pool_pack needs even cell dims, got {m.shape}")
-    parts = [
-        m[:, pz::2, py::2, px::2, :] for pz, py, px in _PARITY
-    ]
-    return jnp.concatenate(parts, axis=-1)
+    if any(s % 2 for s in x.shape[1:4]):
+        raise ValueError(f"pool_pack needs even cell dims, got {x.shape}")
+    if grad_exact:
+        m = parity_group_max(x)
+    else:
+        c = x.shape[-1] // 8
+        m = x[..., :c]
+        for i in range(1, 8):
+            m = jnp.maximum(m, x[..., i * c : (i + 1) * c])
+    return pack_volume_iv(m)
 
 
 def convT_packed_weight(k: jax.Array) -> jax.Array:
@@ -174,8 +189,10 @@ class PackedUNet:
         :meth:`_forward`, f32 logits conv).
 
         Every engine op is differentiable — pack/unpack are
-        transposes, ``pool_pack`` is max + strided slices (exactly
-        ``nn.max_pool``'s gradient), ``crop_packed`` is slices, and the
+        transposes, ``pool_pack(grad_exact=True)`` is a reduce-max +
+        slices (the plain engine pool's gradient; the inference-path
+        maximum tree splits tie cotangents differently — see
+        :func:`pool_pack`), ``crop_packed`` is slices, and the
         ConvTranspose/conv weight folds are contractions OF the params
         done inside the trace, so gradients flow to the original
         ConvTranspose and Conv kernels.  Only the split-weight bf16
@@ -211,8 +228,11 @@ class PackedUNet:
                 x = packed_conv_relu(x, conv_i)
                 conv_i += 1
             skips.append(x)
-            # pool == parity-group max; re-pack via strided slices
-            x = bar(pool_pack(x))
+            # pool == parity-group max; re-pack via per-axis slices
+            # (grad_exact on the differentiable path: the maximum-tree
+            # form splits tie cotangents differently than the plain
+            # engine's reduce — see pool_pack)
+            x = bar(pool_pack(x, grad_exact=f32_logits))
 
         # bottleneck (packed one lattice deeper than the last skip)
         for _ in range(cps):
