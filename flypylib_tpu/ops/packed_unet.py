@@ -313,16 +313,24 @@ class PackedUNet:
                 xg, w0, (((5,), (0,)), ((), ()))
             )[..., 0] + bl  # (B, D, H, W, 8)
         else:
-            w_hi = w0.astype(dt)
-            w_lo = (w0 - w_hi.astype(jnp.float32)).astype(dt)
-            wcat = jnp.concatenate([w_hi, w_lo], axis=-1)  # (C, 2)
-            xg = x.reshape(b_, d, h, w_sp, 8, c8 // 8)
+            # block-diagonal (8C, 8) weight: y[..., p] = x-group-p @ w0.
+            # Same products as the grouped (..., 8, C) dot but WITHOUT
+            # the minor-dim reshape to C=24 lanes (pad-hostile) —
+            # 354 -> 345 ms on the tin-388 forward
+            # (experiments/unet_fold_probe.jsonl).  Not bitwise vs the
+            # grouped form: the 8C-wide dot's MXU partial sums chunk
+            # differently (3.7e-9 — pure f32 accumulation order).
+            eye = jnp.eye(8, dtype=jnp.float32)
+            w_bd = jnp.einsum("c,gp->gcp", w0[:, 0], eye).reshape(c8, 8)
+            w_hi = w_bd.astype(dt)
+            w_lo = (w_bd - w_hi.astype(jnp.float32)).astype(dt)
+            wcat = jnp.concatenate([w_hi, w_lo], axis=-1)  # (8C, 16)
             y = jax.lax.dot_general(
-                xg, wcat,
-                (((5,), (0,)), ((), ())),
+                x, wcat,
+                (((4,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (B, D, H, W, 8, 2)
-            y = y[..., 0] + y[..., 1] + bl  # (B, D, H, W, 8)
+            )  # (B, D, H, W, 16)
+            y = y[..., :8] + y[..., 8:] + bl  # (B, D, H, W, 8)
         return unpack_volume_iv(y.reshape(b_, d, h, w_sp, 8 * 1))
 
     def __repr__(self):
