@@ -20,10 +20,13 @@ import json
 import sys
 import time
 
+import os
+
 import jax
 import numpy as np
 
-from bench import make_volume_u8
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import make_volume_u8  # noqa: E402
 from flypylib_tpu.infer.large import (
     detect_staged,
     make_stream_plan,

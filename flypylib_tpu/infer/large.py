@@ -1044,19 +1044,69 @@ class _StreamPlan:
         peak = shell + act + int(staged_bytes) + (1 << 29)
         return peak <= (61 << 28)  # 15.25 GiB of the 16 GB chip
 
-    def _fused_shared_fn(self, C: int):
+    def _shared_boxes(self):
+        """The postprocess partition for the shared (monolithic-shell)
+        sweep: the base ROI grid, COARSENED by grouping consecutive
+        core rows into ~512-extent boxes.
+
+        In shared mode the forward cost is core-independent (one
+        whole-volume forward into the shell), so the per-ROI fixed
+        postprocess cost is pure overhead: at the 1k^3 U-Net the
+        default core-256 grid spends 1.25 s over 64 ROIs where a
+        512-box partition spends 0.37 s over 8 — detections identical
+        (experiments/unet_shared_core.jsonl).  Boxes are disjoint
+        unions of consecutive base cores (the last group takes the
+        remainder rows), so coverage — and with it the candidate set,
+        the -inf boundary rule, and the sorted merge — is exactly the
+        base grid's.  The device-CC backend keeps the base grid (its
+        seam face exports are sized by ``core_dims``); sparse CC and
+        NMS are partition-free.
+
+        Returns ``[(key, corner, dims)]``; ``dims`` keys the compiled
+        postprocess variants (at most 2 distinct extents per axis)."""
+        base = [(k, c, tuple(self.core_dims)) for k, c in self.grid]
+        if self.want_cc and self.cc_impl == "device":
+            return base
+        target = getattr(self, "shared_box_target", 512)
+        ks = [max(1, target // c) for c in self.core_dims]
+        if all(k == 1 for k in ks):
+            return base
+        starts = [
+            sorted({c[d] for _, c in self.grid}) for d in range(3)
+        ]
+        # base-grid coverage extent per axis (shell is sized for it)
+        ext = [s[-1] + cd for s, cd in zip(starts, self.core_dims)]
+        boxes = []
+        for d in range(3):
+            grp = [
+                starts[d][i : i + ks[d]]
+                for i in range(0, len(starts[d]), ks[d])
+            ]
+            boxes.append([
+                (g[0], min(g[-1] + self.core_dims[d], ext[d]) - g[0])
+                for g in grp
+            ])
+        return [
+            ((iz, iy, ix), (z0, y0, x0), (dz, dy, dx))
+            for iz, (z0, dz) in enumerate(boxes[0])
+            for iy, (y0, dy) in enumerate(boxes[1])
+            for ix, (x0, dx) in enumerate(boxes[2])
+        ]
+
+    def _fused_shared_fn(self, C: int, dims=None):
         """Fused NMS + sparse-CC postprocess over a traced-corner window
         of the shared shell (no masking needed: out-of-volume voxels are
         -inf in the shell itself — same rule, applied once)."""
+        dims = tuple(dims or self.core_dims)
         try:
-            return self._fused_shared_cache[C]
+            return self._fused_shared_cache[(C, dims)]
         except (AttributeError, KeyError):
             pass
         from flypylib_tpu.ops.components import compact_true_indices
         from flypylib_tpu.ops.nms import max_filter
 
         h = self.h
-        cz, cy, cx = self.core_dims
+        cz, cy, cx = dims
         n = cz * cy * cx
         win = self.window
         lo_ext = [w // 2 for w in win]
@@ -1101,21 +1151,22 @@ class _StreamPlan:
         cache = getattr(self, "_fused_shared_cache", None)
         if cache is None:
             cache = self._fused_shared_cache = {}
-        cache[C] = f
+        cache[(C, dims)] = f
         return f
 
-    def _nms_shared_fn(self, K: int):
+    def _nms_shared_fn(self, K: int, dims=None):
         """NMS-only postprocess over a shared-shell window: compacts the
         (local max AND >= thr) core candidates to K slots."""
+        dims = tuple(dims or self.core_dims)
         try:
-            return self._nms_shared_cache[K]
+            return self._nms_shared_cache[(K, dims)]
         except (AttributeError, KeyError):
             pass
         from flypylib_tpu.ops.components import compact_true_indices
         from flypylib_tpu.ops.nms import max_filter
 
         h = self.h
-        cz, cy, cx = self.core_dims
+        cz, cy, cx = dims
         n = cz * cy * cx
         win = self.window
         lo_ext = [w // 2 for w in win]
@@ -1158,19 +1209,20 @@ class _StreamPlan:
         cache = getattr(self, "_nms_shared_cache", None)
         if cache is None:
             cache = self._nms_shared_cache = {}
-        cache[K] = f
+        cache[(K, dims)] = f
         return f
 
-    def _cc_sparse_shared_fn(self, C: int):
+    def _cc_sparse_shared_fn(self, C: int, dims=None):
         """Sparse-CC candidate compaction over a shared-shell core box."""
+        dims = tuple(dims or self.core_dims)
         try:
-            return self._cc_sparse_shared_cache[C]
+            return self._cc_sparse_shared_cache[(C, dims)]
         except (AttributeError, KeyError):
             pass
         from flypylib_tpu.ops.components import compact_true_indices
 
         h = self.h
-        cz, cy, cx = self.core_dims
+        cz, cy, cx = dims
         n = cz * cy * cx
 
         @jax.jit
@@ -1193,7 +1245,7 @@ class _StreamPlan:
         cache = getattr(self, "_cc_sparse_shared_cache", None)
         if cache is None:
             cache = self._cc_sparse_shared_cache = {}
-        cache[C] = f
+        cache[(C, dims)] = f
         return f
 
     def _cc_shared_fn(self, K: int, F: int):
@@ -1221,11 +1273,14 @@ class _StreamPlan:
         cache[(K, F)] = f
         return f
 
-    def _dispatch_shared(self, key, corner, shell, corner_local=None):
+    def _dispatch_shared(self, key, corner, shell, corner_local=None,
+                         dims=None):
         """Dispatch one ROI's postprocess over ``shell``.  ``corner`` is
         the ROI's GLOBAL core corner (used by :meth:`_collect` to
         globalize detections); ``corner_local`` (band mode) is the same
-        corner in the shell's own coordinates."""
+        corner in the shell's own coordinates; ``dims`` (coarsened
+        shared sweep) is the box extent when it differs from
+        ``core_dims``."""
         cj = jnp.asarray(
             corner if corner_local is None else corner_local, jnp.int32
         )
@@ -1233,6 +1288,15 @@ class _StreamPlan:
         rec = {
             "key": key, "corner": corner, "lo_want": None, "out": None,
         }
+        if dims is not None and tuple(dims) != tuple(self.core_dims):
+            rec["dims"] = tuple(dims)
+        # slot budgets stay UNSCALED for coarsened boxes: the per-ROI
+        # device->host transfer is C (or K) slots whether or not they
+        # are occupied, and on the tunnel those fixed bytes — not the
+        # window compute — dominate the sweep (64 ROIs x 0.59 MB at the
+        # 1k^3 default was ~1 s of the 1.25 s postprocess).  Saturated
+        # boxes self-heal via grow-and-retry, same as everywhere else.
+        C0, K0 = self.C, self._nms_K
         fused = (
             self.want_nms and self.want_cc and self.cc_impl == "sparse"
             and getattr(self, "fuse_sparse", True)
@@ -1242,29 +1306,31 @@ class _StreamPlan:
         )
         res_all = []
         if fused:
-            rerun = lambda C: self._fused_shared_fn(C)(  # noqa: E731
+            rerun = lambda C: self._fused_shared_fn(C, dims)(  # noqa: E731
                 shell, cj, thr_j
             )
-            rec["fused"] = rerun(self.C)
-            rec["cc_C"] = self.C
+            rec["fused"] = rerun(C0)
+            rec["cc_C"] = C0
             rec["rerun"] = rerun
             res_all.append(rec["fused"])
         else:
             if self.want_nms:
-                rerun_n = lambda K: self._nms_shared_fn(K)(  # noqa: E731
+                rerun_n = lambda K: self._nms_shared_fn(K, dims)(  # noqa: E731
                     shell, cj, thr_j
                 )
-                rec["nms_sh"] = rerun_n(self._nms_K)
-                rec["nms_K"] = self._nms_K
+                rec["nms_sh"] = rerun_n(K0)
+                rec["nms_K"] = K0
                 rec["rerun_nms"] = rerun_n
                 res_all.append(rec["nms_sh"])
             if self.want_cc:
                 if self.cc_impl == "sparse":
                     rerun_c = lambda C: (  # noqa: E731
-                        self._cc_sparse_shared_fn(C)(shell, cj, thr_j)
+                        self._cc_sparse_shared_fn(C, dims)(
+                            shell, cj, thr_j
+                        )
                     )
-                    rec["cc"] = rerun_c(self.C)
-                    rec["cc_C"] = self.C
+                    rec["cc"] = rerun_c(C0)
+                    rec["cc_C"] = C0
                 else:
                     rerun_c = lambda K, F: (  # noqa: E731
                         self._cc_shared_fn(K, F)(shell, cj, thr_j)
@@ -1287,8 +1353,10 @@ class _StreamPlan:
         self._cc_rois = {}
         window = max(self.pipeline_window, 8)
         pend: deque = deque()
-        for key, corner in self.grid:
-            pend.append(self._dispatch_shared(key, corner, shell))
+        for key, corner, dims in self._shared_boxes():
+            pend.append(
+                self._dispatch_shared(key, corner, shell, dims=dims)
+            )
             if len(pend) >= window:
                 self._collect(pend.popleft(), progress)
         while pend:
@@ -1425,7 +1493,10 @@ class _StreamPlan:
         lo_want = rec["lo_want"]
         out = rec.pop("out")  # held so retries rerun post, not forward
         provider = lambda: out  # noqa: E731
-        core_dims, shape, ctx = self.core_dims, self.shape, self.ctx
+        # coarsened shared boxes carry their own extent (see
+        # _shared_boxes); everything else uses the plan's core
+        core_dims = rec.get("dims", self.core_dims)
+        shape, ctx = self.shape, self.ctx
         n_own = 0
         if "fused" in rec:
             C, res = rec["cc_C"], rec["fused"]
@@ -1518,7 +1589,7 @@ class _StreamPlan:
                 C *= 4
                 self.C = max(self.C, C)  # later ROIs reuse the size
                 res = rec["rerun_cc"](C)
-            cz, cy, cx = self.core_dims
+            cz, cy, cx = core_dims
             n = cz * cy * cx
             idx = np.asarray(idx, np.int64)
             v = idx < n

@@ -583,13 +583,22 @@ class DetectPipeline:
         if self._split_write:
             # throttle dispatch-ahead: buffers are ALLOCATED at dispatch
             # time, so an unthrottled host loop would hold every tile's
-            # probs (27 x 161 MB at tin 388) at once; bound the backlog
-            # to ~0.5 GB with a tiny forced read (in-order execution
-            # makes it a barrier for all earlier dispatches)
+            # probs (27 x 161 MB at tin 388) at once.  Bound the backlog
+            # WITHOUT draining: block on a tiny token slice from the
+            # tile ``backlog`` dispatches ago — in-order execution means
+            # that tile (and everything before it) has completed and
+            # freed its buffers, while the newer dispatches already sit
+            # in the device queue.  The previous form (a forced read of
+            # the LATEST write) was a full pipeline drain + ~28 ms
+            # tunnel roundtrip per tile — ~1 s of device idle over the
+            # 1k^3 U-Net's 27-tile grid.
+            from collections import deque
+
             tout = self._tiled.tile_out
-            sync_every = max(1, (1 << 28) // (4 * tout**3))
+            # ~0.5 GB of in-flight probs (+ input windows and temps)
+            backlog = max(1, (1 << 29) // (6 * tout**3))
+            tokens: deque = deque()
             zero3 = jnp.zeros((3,), jnp.int32)
-            n = 0
             for zs, local in self._slabs:
                 window = None if tile_for is not None else slab_for(zs)
                 w_off = off + (zs, 0, 0)
@@ -609,9 +618,9 @@ class DetectPipeline:
                         out, probs,
                         jnp.asarray(c + w_off, jnp.int32), zero3,
                     )
-                    n += 1
-                    if n % sync_every == 0:
-                        jax.device_get(out[:1, :1, 0])
+                    tokens.append(out[:1, :1, 0])
+                    if len(tokens) > backlog:
+                        jax.device_get(tokens.popleft())
             return out
         for zs, local in self._slabs:
             out = self._fwd_slab(

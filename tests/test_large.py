@@ -579,6 +579,45 @@ def test_staged_shared_forward_overflow_grows(model, rng):
     assert_same_detections(host, got)
 
 
+def test_shared_boxes_coarsen_mixed(model, rng):
+    """The shared-mode postprocess partition coarsens base cores into
+    ~target-extent boxes (forward cost is core-independent there, so
+    fewer/larger postprocess windows are strictly cheaper —
+    experiments/unet_shared_core.jsonl).  Force MIXED box shapes (a
+    remainder group per axis) and pin shared == roi == host."""
+    from flypylib_tpu.infer.large import detect_staged, make_stream_plan
+
+    spec, variables = model
+    vol = rng.random((43, 37, 26)).astype(np.float32)
+    prob = reference_prob(spec, variables, vol)
+    thr = float(np.quantile(prob, 0.97))
+    common = dict(core=8, window=3, threshold=thr, method="both")
+    plan = make_stream_plan(spec, variables, vol.shape, **common)
+    plan.shared_box_target = 16  # 2x2x2 cores per box + remainders
+    boxes = plan._shared_boxes()
+    assert len(boxes) < len(plan.grid)
+    assert len({dims for _, _, dims in boxes}) > 1  # mixed shapes
+    # boxes tile the base grid's coverage exactly
+    ext = [
+        max(c[d] for _, c in plan.grid) + plan.core_dims[d]
+        for d in range(3)
+    ]
+    covered = np.zeros(ext, np.int32)
+    for _, c, dims in boxes:
+        covered[c[0]:c[0] + dims[0], c[1]:c[1] + dims[1],
+                c[2]:c[2] + dims[2]] += 1
+    assert covered.min() == covered.max() == 1
+    roi = detect_staged(spec, variables, vol, plan=plan, **common)
+    shared = detect_staged(spec, variables, vol, plan=plan,
+                           forward="shared", **common)
+    for a, b in zip(roi, shared):
+        assert len(a) > 0
+        np.testing.assert_array_equal(a.locs, b.locs)
+        np.testing.assert_array_equal(a.conf, b.conf)
+    host = nms_host(prob, window=3, threshold=thr)
+    assert_same_detections(host, shared[0])
+
+
 def test_staged_shared_forward_pooled(rng):
     """Shared mode with a pooling (U-Net) spec: the whole-volume grid
     keeps the monolithic pooling phase, detections == roi mode == host."""
