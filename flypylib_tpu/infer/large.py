@@ -979,19 +979,25 @@ class _StreamPlan:
         self._cc_rois = {}
         window = max(self.pipeline_window, 8) * max(1, int(n_devices))
         pend: deque = deque()
-        cur, shell = -1, None
-        for key, corner in self.grid:
-            band = min(key[0] // rpb, nb - 1)
-            if band != cur:
-                shell = shell_for(band, b0s[band])
-                cur = band
-            local = (corner[0] - b0s[band], corner[1], corner[2])
-            pend.append(
-                self._dispatch_shared(key, corner, shell,
-                                      corner_local=local)
-            )
-            if len(pend) >= window:
-                self._collect(pend.popleft(), progress)
+        shell = None
+        for band in range(nb):
+            entries = [
+                (k, c) for k, c in self.grid
+                if min(k[0] // rpb, nb - 1) == band
+            ]
+            if not entries:
+                continue
+            shell = shell_for(band, b0s[band])
+            # coarsened postprocess boxes (band-restricted, so no box
+            # crosses a band-shell boundary — see _shared_boxes)
+            for key, corner, dims in self._shared_boxes(entries):
+                local = (corner[0] - b0s[band], corner[1], corner[2])
+                pend.append(
+                    self._dispatch_shared(key, corner, shell,
+                                          corner_local=local, dims=dims)
+                )
+                if len(pend) >= window:
+                    self._collect(pend.popleft(), progress)
         shell = None
         while pend:
             self._collect(pend.popleft(), progress)
@@ -1044,7 +1050,7 @@ class _StreamPlan:
         peak = shell + act + int(staged_bytes) + (1 << 29)
         return peak <= (61 << 28)  # 15.25 GiB of the 16 GB chip
 
-    def _shared_boxes(self):
+    def _shared_boxes(self, entries=None):
         """The postprocess partition for the shared (monolithic-shell)
         sweep: the base ROI grid, COARSENED by grouping consecutive
         core rows into ~512-extent boxes.
@@ -1063,8 +1069,15 @@ class _StreamPlan:
         NMS are partition-free.
 
         Returns ``[(key, corner, dims)]``; ``dims`` keys the compiled
-        postprocess variants (at most 2 distinct extents per axis)."""
-        base = [(k, c, tuple(self.core_dims)) for k, c in self.grid]
+        postprocess variants (at most 2 distinct extents per axis).
+
+        ``entries`` restricts the partition to a subset of the base
+        grid (the band paths pass one band's rows, so no box ever
+        crosses a band-shell boundary); it must be a full sub-grid
+        (every z-row carries the same y/x corners — true of z-row
+        bands by construction)."""
+        grid = self.grid if entries is None else entries
+        base = [(k, c, tuple(self.core_dims)) for k, c in grid]
         if self.want_cc and self.cc_impl == "device":
             return base
         target = getattr(self, "shared_box_target", 512)
@@ -1072,9 +1085,9 @@ class _StreamPlan:
         if all(k == 1 for k in ks):
             return base
         starts = [
-            sorted({c[d] for _, c in self.grid}) for d in range(3)
+            sorted({c[d] for _, c in grid}) for d in range(3)
         ]
-        # base-grid coverage extent per axis (shell is sized for it)
+        # coverage extent per axis (shell is sized for it)
         ext = [s[-1] + cd for s, cd in zip(starts, self.core_dims)]
         boxes = []
         for d in range(3):
@@ -1086,11 +1099,13 @@ class _StreamPlan:
                 (g[0], min(g[-1] + self.core_dims[d], ext[d]) - g[0])
                 for g in grp
             ])
+        # the key doubles as the _cc_rois dict key: use the (globally
+        # unique) corner so band-restricted partitions never collide
         return [
-            ((iz, iy, ix), (z0, y0, x0), (dz, dy, dx))
-            for iz, (z0, dz) in enumerate(boxes[0])
-            for iy, (y0, dy) in enumerate(boxes[1])
-            for ix, (x0, dx) in enumerate(boxes[2])
+            ((z0, y0, x0), (z0, y0, x0), (dz, dy, dx))
+            for z0, dz in boxes[0]
+            for y0, dy in boxes[1]
+            for x0, dx in boxes[2]
         ]
 
     def _fused_shared_fn(self, C: int, dims=None):
@@ -1379,17 +1394,24 @@ class _StreamPlan:
         self._cc_rois = {}
         window = max(self.pipeline_window, 8) * nb
         pend: deque = deque()
-        for key, corner in self.grid:
-            band = min(key[0] // rpb, nb - 1)
+        for band in range(nb):
+            entries = [
+                (k, c) for k, c in self.grid
+                if min(k[0] // rpb, nb - 1) == band
+            ]
             b0 = min(band * rpb, n_rows - rpb) * cz
-            local = (corner[0] - b0, corner[1], corner[2])
-            pend.append(
-                self._dispatch_shared(
-                    key, corner, shells[band], corner_local=local
+            # coarsened postprocess boxes (band-restricted, so no box
+            # crosses a band-shell boundary — see _shared_boxes)
+            for key, corner, dims in self._shared_boxes(entries):
+                local = (corner[0] - b0, corner[1], corner[2])
+                pend.append(
+                    self._dispatch_shared(
+                        key, corner, shells[band], corner_local=local,
+                        dims=dims,
+                    )
                 )
-            )
-            if len(pend) >= window:
-                self._collect(pend.popleft(), progress)
+                if len(pend) >= window:
+                    self._collect(pend.popleft(), progress)
         while pend:
             self._collect(pend.popleft(), progress)
         return self._finalize()
