@@ -1078,7 +1078,7 @@ class _StreamPlan:
         bands by construction)."""
         grid = self.grid if entries is None else entries
         base = [(k, c, tuple(self.core_dims)) for k, c in grid]
-        if self.want_cc and self.cc_impl == "device":
+        if not grid or (self.want_cc and self.cc_impl == "device"):
             return base
         target = getattr(self, "shared_box_target", 512)
         ks = [max(1, target // c) for c in self.core_dims]
@@ -1399,6 +1399,8 @@ class _StreamPlan:
                 (k, c) for k, c in self.grid
                 if min(k[0] // rpb, nb - 1) == band
             ]
+            if not entries:
+                continue
             b0 = min(band * rpb, n_rows - rpb) * cz
             # coarsened postprocess boxes (band-restricted, so no box
             # crosses a band-shell boundary — see _shared_boxes)
