@@ -47,7 +47,12 @@ enable_compilation_cache()
 OUT = "experiments/dec0_retile.jsonl"
 
 
-def timeit(fn, args, iters=8, reps=3):
+def timeit(fn, args, iters=16, reps=3):
+    # ONE compiled executable (the remote compile service runs minutes
+    # per fresh executable through the tunnel — two compiles per variant
+    # made the original form time out).  Per-iter time includes the
+    # ~28 ms dispatch roundtrip amortized over `iters` (~2 ms bias at
+    # n=16 — irrelevant for the ~80-vs-140 TF/s question probed here).
     @functools.partial(jax.jit, static_argnames=("n",))
     def many(args, n):
         def body(acc, i):
@@ -58,17 +63,12 @@ def timeit(fn, args, iters=8, reps=3):
         acc, _ = lax.scan(body, jnp.zeros(()), jnp.arange(n))
         return acc
 
-    float(many(args, n=1))
     float(many(args, n=iters))
     best = np.inf
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(many(args, n=1))
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
         float(many(args, n=iters))
-        tn = time.perf_counter() - t0
-        best = min(best, (tn - t1) / (iters - 1))
+        best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
 
@@ -99,9 +99,11 @@ def run(name, fn, arrs, useful_flops):
 
 
 def main():
+    only = sys.argv[1] if len(sys.argv) > 1 else None
     rng = np.random.default_rng(0)
     dt = jnp.bfloat16
-    open(OUT, "w").close()
+    if only is None:
+        open(OUT, "w").close()
 
     def mk(shape):
         return jnp.asarray(rng.standard_normal(shape) * 0.1, dt)
@@ -125,20 +127,26 @@ def main():
         + 174**3 * 192 * 16 * 2
     )
 
-    x = mk((1, 176, 176, 176, 240))
-    run("dec0_mono", dec0_tail, (x,), fl)
-    del x
-    gc.collect()
+    def want(name):
+        return only is None or only == name
 
-    x = mk((27, 60, 60, 60, 240))
-    run("dec0_b58", dec0_tail, (x,), fl)
-    del x
-    gc.collect()
+    if want("dec0_mono"):
+        x = mk((1, 176, 176, 176, 240))
+        run("dec0_mono", dec0_tail, (x,), fl)
+        del x
+        gc.collect()
 
-    x = mk((216, 31, 31, 31, 240))
-    run("dec0_b29", dec0_tail, (x,), fl)
-    del x
-    gc.collect()
+    if want("dec0_b58"):
+        x = mk((27, 60, 60, 60, 240))
+        run("dec0_b58", dec0_tail, (x,), fl)
+        del x
+        gc.collect()
+
+    if want("dec0_b29"):
+        x = mk((216, 31, 31, 31, 240))
+        run("dec0_b29", dec0_tail, (x,), fl)
+        del x
+        gc.collect()
 
     # --- enc0 head --------------------------------------------------------
     w_e0 = mk((2, 2, 2, 8, 192))
@@ -150,20 +158,23 @@ def main():
 
     fl_e = 193**3 * 8 * 8 * 192 * 2 + 192**3 * 8 * 192 * 192 * 2
 
-    x = mk((1, 194, 194, 194, 8))
-    run("enc0_mono", enc0_head, (x,), fl_e)
-    del x
-    gc.collect()
+    if want("enc0_mono"):
+        x = mk((1, 194, 194, 194, 8))
+        run("enc0_mono", enc0_head, (x,), fl_e)
+        del x
+        gc.collect()
 
-    x = mk((27, 66, 66, 66, 8))
-    run("enc0_b64", enc0_head, (x,), fl_e)
-    del x
-    gc.collect()
+    if want("enc0_b64"):
+        x = mk((27, 66, 66, 66, 8))
+        run("enc0_b64", enc0_head, (x,), fl_e)
+        del x
+        gc.collect()
 
-    x = mk((64, 50, 50, 50, 8))
-    run("enc0_b48", enc0_head, (x,), fl_e)
-    del x
-    gc.collect()
+    if want("enc0_b48"):
+        x = mk((64, 50, 50, 50, 8))
+        run("enc0_b48", enc0_head, (x,), fl_e)
+        del x
+        gc.collect()
 
 
 if __name__ == "__main__":
