@@ -176,6 +176,14 @@ def main():
         del x
         gc.collect()
 
+    if want("enc0_b32"):
+        # out 32^3 x 6^3 tiles 192^3 exactly (1.20x halo redundancy) —
+        # the dec0_b29-scale block; b48 hit 114.7 vs mono 92.1
+        x = mk((216, 34, 34, 34, 8))
+        run("enc0_b32", enc0_head, (x,), fl_e)
+        del x
+        gc.collect()
+
 
 if __name__ == "__main__":
     main()

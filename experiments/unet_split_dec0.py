@@ -172,6 +172,43 @@ def main():
             conv_i += 1
         return logits_dot(x)
 
+    def phase_b_blocks(xin):
+        """dec0 tail on a regular 6^3 grid of 31^3-in / 29^3-out blocks
+        (dec0_retile: 140.5 TF/s vs 78.7 monolithic), stitched with the
+        conv-stack's block transpose."""
+        dpack = xin.shape[1]
+        bc = 29 if (dpack - 2) % 29 == 0 else (dpack - 2) // 2
+        g = (dpack - 2) // bc  # 6 at tin 388 (bc=29)
+        assert g * bc + 2 == dpack
+        bi, bo = bc + 2, 2 * bc
+        # slice overlap-2 windows per axis, batching as we go
+        blk = xin[0]
+        parts = []
+        for bz in range(g):
+            parts.append(lax.slice_in_dim(blk, bz * bc, bz * bc + bi, axis=0))
+        blk = jnp.stack(parts)  # (g, 31, 176, 176, C)
+        parts = []
+        for by in range(g):
+            parts.append(lax.slice_in_dim(blk, by * bc, by * bc + bi, axis=2))
+        blk = jnp.stack(parts, axis=1)  # (g, g, 31, 31, 176, C)
+        parts = []
+        for bx in range(g):
+            parts.append(lax.slice_in_dim(blk, bx * bc, bx * bc + bi, axis=4))
+        blk = jnp.stack(parts, axis=2)  # (g, g, g, 31, 31, 31, C)
+        blk = blk.reshape(g * g * g, bi, bi, bi, xin.shape[-1])
+
+        conv_i = 8
+        w_fold, b_fold = fold_weights(0, conv_i)
+        x = jax.nn.relu(_conv2(blk, w_fold) + b_fold)
+        conv_i += 1
+        for _ in range(cps - 1):
+            x = packed_conv_relu(x, conv_i)
+            conv_i += 1
+        probs = logits_dot(x)  # (g^3, bo, bo, bo)
+        probs = probs.reshape(g, g, g, bo, bo, bo)
+        probs = probs.transpose(0, 3, 1, 4, 2, 5)
+        return probs.reshape(1, g * bo, g * bo, g * bo)
+
     jit_mono = jax.jit(
         lambda x: jnp.sum(
             jax.nn.sigmoid(module.apply(variables, x, train=False))
@@ -238,6 +275,16 @@ def main():
             emit({"check": "split_two", "mono": ref, "split": v,
                   "match": bool(abs(v - ref) < 1e-3 * max(1.0, abs(ref)))})
         bench("split_two", lambda x: jit_b_two(*jit_a_two(x)))
+
+    if want("split_b29"):
+        jit_b_blk = jax.jit(
+            lambda xin: jnp.sum(jax.nn.sigmoid(phase_b_blocks(xin)))
+        )
+        v = float(jit_b_blk(jit_a_cat(x)))
+        if ref is not None:
+            emit({"check": "split_b29", "mono": ref, "split": v,
+                  "match": bool(abs(v - ref) < 1e-3 * max(1.0, abs(ref)))})
+        bench("split_b29", lambda x: jit_b_blk(jit_a_cat(x)))
 
 
 if __name__ == "__main__":
