@@ -105,27 +105,83 @@ def main():
         )
         return y2[..., :L] + y2[..., L:] + bl
 
+    # --only chain:2x2,fold:3x3 restricts which pallas variants run
+    # (remote compiles cost minutes; probe cached/known-good blocks).
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only"):
+            spec = a.split("=", 1)[1] if "=" in a else sys.argv[
+                sys.argv.index(a) + 1]
+            only = set(spec.split(","))
+
+    def want(kind, bz, by):
+        return only is None or f"{kind}:{bz}x{by}" in only
+
     args = (x, w1, b1, w2, b2, wl, bl)
-    dt = timeit(xla_tail, args)
-    emit({"variant": "xla_mono", "ms": round(dt * 1e3, 2),
-          "useful_tf_s": round(tf / dt, 1)})
+    if "--skip-anchor" not in sys.argv:
+        dt = timeit(xla_tail, args)
+        emit({"variant": "xla_mono", "ms": round(dt * 1e3, 2),
+              "useful_tf_s": round(tf / dt, 1)})
     ref = np.asarray(jax.jit(xla_tail)(*args))
 
-    for block in [(8, 16, 16), (16, 16, 16), (8, 24, 24), (8, 32, 32),
-                  (16, 24, 24), (4, 16, 16)]:
+    # x is always full-width on TPU (Mosaic last-two-dims rule); sweep
+    # (BZ, BY).  VMEM budget math: chain keeps in(x2 dbl-buf) + t1 + t2
+    # at ~300 KB per (z,y) halo cell -> (BZ+2)(BY+2) <~ 50.
+    for bz, by in [(2, 2), (2, 4), (4, 2), (4, 4), (2, 8), (8, 2),
+                   (5, 5), (4, 8), (8, 4), (6, 6)]:
+        if not want("chain", bz, by):
+            continue
         gc.collect()
-        name = f"pallas_b{block[0]}x{block[1]}x{block[2]}"
+        name = f"pallas_chain_b{bz}x{by}"
         try:
             fn = lambda x, w1, b1, w2, b2, wl, bl: packed_tail(
-                x, [(w1, b1), (w2, b2)], (wl, bl), block=block
+                x, [(w1, b1), (w2, b2)], (wl, bl), block=(bz, by, N)
             )
             out = np.asarray(jax.jit(fn)(*args))
             md = float(np.abs(out - ref).max())
             rs = float(np.abs(ref).max())
             dt = timeit(fn, args)
+            redun = (bz + 2) * (by + 2) / (bz * by)
             emit({"variant": name, "ms": round(dt * 1e3, 2),
                   "useful_tf_s": round(tf / dt, 1),
+                  "redundancy": round(redun, 2),
                   "max_diff": md, "ref_scale": rs})
+        except Exception as e:
+            emit({"variant": name, "error": f"{type(e).__name__}: {e}"[:300]})
+
+    # fold-only variant (single stage, 240->192): smaller live set ->
+    # bigger blocks, redundancy (BZ+1)(BY+1)/(BZ*BY)
+    def xla_fold(x, w1, b1):
+        y = lax.conv_general_dilated(
+            x[None], w1, (1, 1, 1), "VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )[0]
+        return jnp.maximum(y + b1, 0.0)
+
+    tf_fold = 2 * (N - 1) ** 3 * 8 * C0 * C1 / 1e12
+    fargs = (x, w1, b1)
+    if "--skip-anchor" not in sys.argv:
+        dt = timeit(xla_fold, fargs)
+        emit({"variant": "xla_fold", "ms": round(dt * 1e3, 2),
+              "useful_tf_s": round(tf_fold / dt, 1)})
+    fref = np.asarray(jax.jit(xla_fold)(*fargs)).astype(np.float32)
+    for bz, by in [(2, 2), (3, 3), (4, 4), (5, 5), (6, 6), (7, 7),
+                   (8, 8), (4, 8), (8, 4), (10, 10)]:
+        if not want("fold", bz, by):
+            continue
+        gc.collect()
+        name = f"pallas_fold_b{bz}x{by}"
+        try:
+            fn = lambda x, w1, b1: packed_tail(
+                x, [(w1, b1)], None, block=(bz, by, N)
+            )
+            out = np.asarray(jax.jit(fn)(*fargs)).astype(np.float32)
+            md = float(np.abs(out - fref).max())
+            dt = timeit(fn, fargs)
+            redun = (bz + 1) * (by + 1) / (bz * by)
+            emit({"variant": name, "ms": round(dt * 1e3, 2),
+                  "useful_tf_s": round(tf_fold / dt, 1),
+                  "redundancy": round(redun, 2), "max_diff": md})
         except Exception as e:
             emit({"variant": name, "error": f"{type(e).__name__}: {e}"[:300]})
 

@@ -164,14 +164,28 @@ class PackedUNet:
     packed fast path for ``train=False`` and the inner module for
     training."""
 
-    def __init__(self, inner: UNetValid, barriers: bool = False):
+    def __init__(self, inner: UNetValid, barriers: bool = False,
+                 tail_impl: str = "xla", tail_block=(3, 3, 1 << 30)):
         # ``barriers``: materialize each pack_volume relayout with
         # lax.optimization_barrier before the conv that consumes it —
         # the same transpose-fused-into-conv defect fixed in
         # PackedConvStack (experiments/chain_fix2.jsonl); A/B'd in
         # experiments/unet_profile.py
+        #
+        # ``tail_impl="pallas"``: route the level-0 decoder epilogue
+        # (fold conv + following convs + logits) through the fused
+        # :func:`flypylib_tpu.ops.pallas_tail.packed_tail` kernel —
+        # the big-spatial stages where XLA's monolithic convs collapse
+        # (experiments/dec0_retile.jsonl).  Batch-1 inference only
+        # (covering-tile forwards); other shapes fall back to the XLA
+        # path.  ``tail_block`` is the Pallas (BZ, BY, BX) output block
+        # (x is always full-width on real TPU — Mosaic lane rule).
+        if tail_impl not in ("xla", "pallas"):
+            raise ValueError(f"unknown tail_impl {tail_impl!r}")
         self.inner = inner
         self.barriers = barriers
+        self.tail_impl = tail_impl
+        self.tail_block = tuple(tail_block)
         self.dtype = inner.dtype
 
     def init(self, key, x, train: bool = False):
@@ -287,6 +301,15 @@ class PackedUNet:
             sc = crop_packed(skip, starts, sizes)
 
             xin = jnp.concatenate([sc, x.astype(dt)], axis=-1)
+            if (
+                lev == 0
+                and self.tail_impl == "pallas"
+                and not f32_logits
+                and xin.shape[0] == 1
+            ):
+                return self._pallas_tail(
+                    params, xin, conv_i, w_fold, b_fold
+                )
             y = _conv2(xin, w_fold.astype(dt)) + b_fold.astype(dt)
             x = jax.nn.relu(y)
             conv_i += 1
@@ -333,6 +356,47 @@ class PackedUNet:
             y = y[..., :8] + y[..., 8:] + bl  # (B, D, H, W, 8)
         return unpack_volume_iv(y.reshape(b_, d, h, w_sp, 8 * 1))
 
+    def _pallas_tail(self, params, xin, conv_i, w_fold, b_fold):
+        """Level-0 epilogue via the fused Pallas kernel.
+
+        Consumes the concatenated (1, D, H, W, 8Cs+Cc) decoder input and
+        produces the unpacked prob-map logits — the same math (and the
+        same rounding points) as the XLA tail: fold conv + ReLU,
+        ``cps - 1`` packed convs + ReLU, block-diagonal split-weight
+        logits dot summed in f32.  Only the f32 tap-accumulation order
+        differs (documented in :mod:`flypylib_tpu.ops.pallas_tail`)."""
+        from .pallas_tail import packed_tail
+
+        dt = self.dtype
+        cps = self.inner.convs_per_stage
+        stages = [(w_fold.astype(dt), b_fold.astype(dt))]
+        for j in range(1, cps):
+            p = params[f"Conv_{conv_i + j}"]
+            stages.append(
+                (
+                    pack_weight_d1(p["kernel"].astype(dt)),
+                    jnp.tile(p["bias"].astype(dt), 8),
+                )
+            )
+        pl_ = params[f"Conv_{conv_i + cps}"]
+        wl = pl_["kernel"].astype(jnp.float32)
+        # the 1-channel logits bias reaches all 8 parity lanes; the
+        # kernel sizes L from bl, so broadcast it explicitly
+        bl = jnp.broadcast_to(pl_["bias"].astype(jnp.float32), (8,))
+        w0 = wl[0, 0, 0]  # (C, 1)
+        c8 = stages[-1][0].shape[-1]
+        eye = jnp.eye(8, dtype=jnp.float32)
+        w_bd = jnp.einsum("c,gp->gcp", w0[:, 0], eye).reshape(c8, 8)
+        w_hi = w_bd.astype(dt)
+        w_lo = (w_bd - w_hi.astype(jnp.float32)).astype(dt)
+        wcat = jnp.concatenate([w_hi, w_lo], axis=-1)  # (8C, 16)
+        interp = jax.default_backend() != "tpu"
+        y = packed_tail(
+            xin[0], stages, (wcat, bl), block=self.tail_block,
+            interpret=interp,
+        )  # (D-cps, H-cps, W-cps, 8) f32
+        return unpack_volume_iv(y[None])
+
     def __repr__(self):
         return f"PackedUNet({self.inner!r})"
 
@@ -344,7 +408,8 @@ def _packed_unet_geometry(module: UNetValid):
 
 
 def packed_unet_spec(spec: ModelSpec,
-                     barriers: bool = False) -> ModelSpec | None:
+                     barriers: bool = False,
+                     tail_impl: str = "xla") -> ModelSpec | None:
     """A ModelSpec running a UNetValid ``spec`` through the packed
     engine, or ``None`` when the module is not a UNetValid.  Shares the
     inner params tree; exports the packed (stricter) size constraints."""
@@ -352,7 +417,7 @@ def packed_unet_spec(spec: ModelSpec,
     if not isinstance(module, UNetValid):
         return None
     try:
-        pm = PackedUNet(module, barriers=barriers)
+        pm = PackedUNet(module, barriers=barriers, tail_impl=tail_impl)
         ctx, mult, off, min_size = _packed_unet_geometry(module)
     except (ValueError, TypeError):
         return None

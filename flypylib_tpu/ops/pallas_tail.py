@@ -50,56 +50,97 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# tap order must match lax.conv's (z, y, x) kernel walk so that the
-# f32 tap-accumulation order is at least fixed (values are exact per
-# tap; order only matters at the f32 rounding level)
-_TAPS = [(dz, dy, dx) for dz in range(2) for dy in range(2) for dx in range(2)]
-
-
 def _tail_kernel(x_ref, *refs, n_stages, SZ, SY, SX, BZ, BY, BX, chans,
                  logits, out_dtype):
     """One (BZ, BY, BX) output block of the fused stage chain.
 
     x_ref: (SZ, SY, SX, C0) halo window, S* = B* + n_stages.
-    refs: per stage (w_ref (8, Ci, Co), b_ref (1, Co)), then with
+    refs: per stage (w_ref (2,2,2, Ci, Co), b_ref (1, Co)), then with
     ``logits`` (wl_ref (Cn, 2*L), bl_ref (1, L)), then out_ref.
+
+    Structure follows the TPU-proven idiom of ops/pallas_conv.py: work
+    per z-plane on flattened (y*x, C) rows, copy each (dz, dy, dx)
+    column block straight into an im2col scratch (normalizing every dot
+    operand to sublane offset 0 — Mosaic crashes on dots over offset
+    row slices), and run ONE (rows, 8*Ci) @ (8*Ci, Co) matmul per
+    output plane.  Stage s consumes planes with (SY - s) valid y-rows;
+    x-wrap garbage columns are cropped by the final ``[:, :BX]`` slice.
+
+    VMEM discipline (the first draft OOM'd the Mosaic stack allocator):
+    ONE scratch per stage scoped around the whole z loop — per-(z)
+    ``run_scoped`` calls each got their own stack slot — and NO lane-dim
+    concat of the two z-planes (240+240 unaligned channels made Mosaic
+    materialize a big ``%_pack`` temp per z); both dz column blocks are
+    written into the scratch directly.  Each plane instead carries one
+    zero pad ROW (sublane concat — cheap) so the (dy=1, dx=1) tap's row
+    window stays in bounds.
     """
     out_ref = refs[-1]
-    S = SZ * SY * SX
-    plane, row = SY * SX, SX
 
-    cur = x_ref[...].reshape(S, chans[0])
+    # stage s input planes: list over z of (rows_s * SX + 1, C) values
+    # (one zero pad row; the padded output lands in cropped x columns)
+    rows = [(SY - s) * SX for s in range(n_stages + 1)]
+    zrow0 = jnp.zeros((1, chans[0]), x_ref.dtype)
+    planes = [
+        jnp.concatenate([x_ref[z].reshape(rows[0], chans[0]), zrow0])
+        for z in range(SZ)
+    ]
+
     for s in range(n_stages):
         w_ref, b_ref = refs[2 * s], refs[2 * s + 1]
         ci, co = chans[s], chans[s + 1]
-        pad = plane + row + 1
-        # zero tail so every tap's shifted window is in bounds; the
-        # affected rows are flat-invalid and sliced away at the end
-        buf = jnp.concatenate([cur, jnp.zeros((pad, ci), cur.dtype)])
-        acc = jnp.zeros((S, co), jnp.float32)
-        for t, (dz, dy, dx) in enumerate(_TAPS):
-            off = dz * plane + dy * row + dx
-            acc = acc + jnp.dot(
-                buf[off : off + S],
-                w_ref[t],
-                preferred_element_type=jnp.float32,
-            )
-        # round to model dtype BEFORE the bias add — the XLA path's
-        # rounding points (conv -> bf16, + bf16 bias, relu)
-        cur = jnp.maximum(acc.astype(cur.dtype) + b_ref[...], 0.0)
+        # rhs column order = [(dy, dx) K-blocks] x [dz] x [ci]
+        rhs = jnp.transpose(w_ref[...], (1, 2, 0, 3, 4)).reshape(
+            8 * ci, co
+        )
+        bias = b_ref[...]
+        m_out = rows[s + 1]
+        zrow = jnp.zeros((1, co), x_ref.dtype)
+        last = s == n_stages - 1
+
+        def stage(scr, planes=planes, rhs=rhs, bias=bias, ci=ci,
+                  m_out=m_out, zrow=zrow, last=last):
+            nxt = []
+            for z in range(len(planes) - 1):
+                for k, (dy, dx) in enumerate(
+                    (dy, dx) for dy in range(2) for dx in range(2)
+                ):
+                    off = dy * SX + dx
+                    scr[:, 2 * k * ci : (2 * k + 1) * ci] = planes[z][
+                        off : off + m_out
+                    ]
+                    scr[:, (2 * k + 1) * ci : (2 * k + 2) * ci] = planes[
+                        z + 1
+                    ][off : off + m_out]
+                acc = jnp.dot(
+                    scr[:], rhs, preferred_element_type=jnp.float32
+                )
+                # round to model dtype BEFORE the bias add — the XLA
+                # path's rounding points (conv -> bf16, + bf16 bias,
+                # relu)
+                y = jnp.maximum(acc.astype(x_ref.dtype) + bias, 0.0)
+                nxt.append(y if last else jnp.concatenate([y, zrow]))
+            return nxt
+
+        planes = pl.run_scoped(
+            stage, pltpu.VMEM((m_out, 8 * ci), x_ref.dtype)
+        )
 
     if logits:
         wl_ref, bl_ref = refs[2 * n_stages], refs[2 * n_stages + 1]
         L = bl_ref.shape[-1]
-        y2 = jnp.dot(cur, wl_ref[...], preferred_element_type=jnp.float32)
-        y = y2[:, :L] + y2[:, L:] + bl_ref[...]
         cn = L
     else:
-        y = cur
         cn = chans[-1]
-
-    y = y.reshape(SZ, SY, SX, cn)[:BZ, :BY, :BX]
-    out_ref[...] = y.astype(out_dtype)
+    for z in range(BZ):
+        if logits:
+            y2 = jnp.dot(
+                planes[z], wl_ref[...], preferred_element_type=jnp.float32
+            )
+            y = y2[:, :L] + y2[:, L:] + bl_ref[...]
+        else:
+            y = planes[z]
+        out_ref[z] = y.reshape(BY, SX, cn)[:, :BX].astype(out_dtype)
 
 
 @functools.partial(
@@ -115,15 +156,28 @@ def _packed_tail_call(x, ws, bs, wl, bl, block, interpret, out_dtype_name):
 
     DO, HO, WO = D - n, H - n, W - n
     BZ, BY, BX = (min(b, o) for b, o in zip(block, (DO, HO, WO)))
+    if not interpret:
+        # Mosaic requires the last two block dims to be (8,128)-divisible
+        # or equal to the full array dims.  SX = BX + n can never satisfy
+        # the sublane rule at the same time as the out spec's BX, so on
+        # real TPU the x axis is always unblocked (full-width windows) —
+        # the same geometry ops/pallas_conv.py compiles with.
+        BX = WO
     SZ, SY, SX = BZ + n, BY + n, BX + n
 
     grid = (-(-DO // BZ), -(-HO // BY), -(-WO // BX))
 
     def in_idx(i, j, k):
+        # the x (sublane-tiled) offset must be a PROVABLY 8-divisible
+        # expression or Mosaic refuses the window ("Couldn't prove that
+        # tiling (8) divides index...'); when the x axis is unblocked
+        # (always, on real TPU) emit the literal 0 instead of
+        # min(k*BX, 0), which Mosaic cannot simplify.
+        kx = 0 if BX == WO else jnp.minimum(k * BX, WO - BX)
         return (
             jnp.minimum(i * BZ, DO - BZ),
             jnp.minimum(j * BY, HO - BY),
-            jnp.minimum(k * BX, WO - BX),
+            kx,
             0,
         )
 
@@ -204,7 +258,7 @@ def packed_tail(x, stages, logits=None, block=(8, 16, 16),
         kz, ky, kx, ci, co = w.shape
         if (kz, ky, kx) != (2, 2, 2):
             raise ValueError(f"packed_tail stages must be 2^3 convs, got {w.shape}")
-        ws.append(w.reshape(8, ci, co))
+        ws.append(w)
         bs.append(b)
     n = len(ws)
     D, H, W, _ = x.shape
