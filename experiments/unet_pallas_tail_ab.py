@@ -1,0 +1,113 @@
+"""Full-forward A/B of the PackedUNet level-0 Pallas tail (round 6).
+
+Standalone, the fused Pallas tail avoids the two ~2 GB level-0 HBM
+intermediates that make dec0_fold collapse in-chain (52.9 TF/s,
+unet_prefix2.jsonl).  This measures what actually matters: the FULL
+production tin-388 forward with ``tail_impl='pallas'`` vs the XLA
+tail, outputs compared at f32 (the kernel's tap-accumulation order
+differs by design — ~1 ulp bf16).
+
+python experiments/unet_pallas_tail_ab.py [bzxby ...]   # e.g. 3x3 4x4
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flypylib_tpu.models.zoo import unet
+from flypylib_tpu.ops.packed_unet import PackedUNet
+from flypylib_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+OUT = "experiments/unet_pallas_tail_ab.jsonl"
+TIN = int(os.environ.get("AB_TIN", "388"))
+
+
+def emit(row):
+    print(json.dumps(row), flush=True)
+    with open(OUT, "a") as fh:
+        fh.write(json.dumps(row) + "\n")
+
+
+def timeit(fn, x, iters=4, reps=3):
+    fn(x).block_until_ready()
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(x)
+        # force a real device roundtrip (block_until_ready is unreliable
+        # through the tunnel — CLAUDE.md)
+        float(jnp.sum(out.astype(jnp.float32)))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def main():
+    blocks = []
+    for a in sys.argv[1:]:
+        bz, by = a.split("x")
+        blocks.append((int(bz), int(by)))
+    if not blocks:
+        blocks = [(3, 3)]
+
+    spec = unet()  # eval config 4
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    small = spec.min_size
+    variables = spec.module.init(
+        key, jnp.zeros((1, small, small, small, 1), jnp.float32), train=False
+    )
+    x = jnp.asarray(
+        rng.standard_normal((1, TIN, TIN, TIN, 1)).astype(np.float32)
+    )
+    tout = TIN - 2 * spec.context
+    vox = tout ** 3
+
+    pm_xla = PackedUNet(spec.module)
+    fwd_xla = jax.jit(lambda v, x: pm_xla.apply(v, x))
+    t0 = time.perf_counter()
+    ref = fwd_xla(variables, x)
+    ref.block_until_ready()
+    emit({"variant": "xla", "compile_s": round(time.perf_counter() - t0, 1)})
+    dt = timeit(lambda x: fwd_xla(variables, x), x)
+    reff = np.asarray(ref, dtype=np.float32)
+    emit({"variant": "xla", "ms": round(dt * 1e3, 2),
+          "mvox_s": round(vox / dt / 1e6, 1)})
+
+    for bz, by in blocks:
+        name = f"pallas_b{bz}x{by}"
+        try:
+            pm = PackedUNet(
+                spec.module, tail_impl="pallas",
+                tail_block=(bz, by, 1 << 30),
+            )
+            fwd = jax.jit(lambda v, x, pm=pm: pm.apply(v, x))
+            t0 = time.perf_counter()
+            out = fwd(variables, x)
+            out.block_until_ready()
+            cs = round(time.perf_counter() - t0, 1)
+            outf = np.asarray(out, dtype=np.float32)
+            md = float(np.abs(outf - reff).max())
+            dt = timeit(lambda x, fwd=fwd: fwd(variables, x), x)
+            emit({"variant": name, "ms": round(dt * 1e3, 2),
+                  "mvox_s": round(vox / dt / 1e6, 1),
+                  "compile_s": cs, "max_diff": md,
+                  "ref_scale": float(np.abs(reff).max())})
+        except Exception as e:
+            emit({"variant": name,
+                  "error": f"{type(e).__name__}: {e}"[:300]})
+
+
+if __name__ == "__main__":
+    main()
