@@ -7,7 +7,9 @@ production tin-388 forward with ``tail_impl='pallas'`` vs the XLA
 tail, outputs compared at f32 (the kernel's tap-accumulation order
 differs by design — ~1 ulp bf16).
 
-python experiments/unet_pallas_tail_ab.py [bzxby ...]   # e.g. 3x3 4x4
+python experiments/unet_pallas_tail_ab.py [variant ...]
+  variants: chain2x2, fold3x3, ... (default fold3x3 — the standalone
+  winner: 47.1 ms vs xla 62.6 standalone / 74.7 in-chain)
 """
 
 from __future__ import annotations
@@ -56,10 +58,11 @@ def timeit(fn, x, iters=4, reps=3):
 def main():
     blocks = []
     for a in sys.argv[1:]:
-        bz, by = a.split("x")
-        blocks.append((int(bz), int(by)))
+        kind = "pallas_fold" if a.startswith("fold") else "pallas"
+        bz, by = a.lstrip("foldchain").split("x")
+        blocks.append((kind, int(bz), int(by)))
     if not blocks:
-        blocks = [(3, 3)]
+        blocks = [("pallas_fold", 3, 3)]
 
     spec = unet()  # eval config 4
     rng = np.random.default_rng(0)
@@ -78,32 +81,36 @@ def main():
     fwd_xla = jax.jit(lambda v, x: pm_xla.apply(v, x))
     t0 = time.perf_counter()
     ref = fwd_xla(variables, x)
-    ref.block_until_ready()
-    emit({"variant": "xla", "compile_s": round(time.perf_counter() - t0, 1)})
+    # d2h of the full prob map crawls through the tunnel (~0.2 MB/s
+    # observed this session) — compare ON DEVICE, transfer scalars only
+    emit({"variant": "xla", "compile_s": round(time.perf_counter() - t0, 1),
+          "ref_scale": float(jnp.abs(ref).max())})
     dt = timeit(lambda x: fwd_xla(variables, x), x)
-    reff = np.asarray(ref, dtype=np.float32)
     emit({"variant": "xla", "ms": round(dt * 1e3, 2),
           "mvox_s": round(vox / dt / 1e6, 1)})
 
-    for bz, by in blocks:
-        name = f"pallas_b{bz}x{by}"
+    diff = jax.jit(
+        lambda a, b: jnp.abs(
+            a.astype(jnp.float32) - b.astype(jnp.float32)
+        ).max()
+    )
+    for kind, bz, by in blocks:
+        name = f"{kind}_b{bz}x{by}"
         try:
             pm = PackedUNet(
-                spec.module, tail_impl="pallas",
+                spec.module, tail_impl=kind,
                 tail_block=(bz, by, 1 << 30),
             )
             fwd = jax.jit(lambda v, x, pm=pm: pm.apply(v, x))
             t0 = time.perf_counter()
             out = fwd(variables, x)
-            out.block_until_ready()
-            cs = round(time.perf_counter() - t0, 1)
-            outf = np.asarray(out, dtype=np.float32)
-            md = float(np.abs(outf - reff).max())
+            md = float(diff(out, ref))
+            emit({"variant": name, "max_diff": md,
+                  "compile_s": round(time.perf_counter() - t0, 1)})
+            del out
             dt = timeit(lambda x, fwd=fwd: fwd(variables, x), x)
             emit({"variant": name, "ms": round(dt * 1e3, 2),
-                  "mvox_s": round(vox / dt / 1e6, 1),
-                  "compile_s": cs, "max_diff": md,
-                  "ref_scale": float(np.abs(reff).max())})
+                  "mvox_s": round(vox / dt / 1e6, 1)})
         except Exception as e:
             emit({"variant": name,
                   "error": f"{type(e).__name__}: {e}"[:300]})

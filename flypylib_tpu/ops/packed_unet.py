@@ -180,7 +180,16 @@ class PackedUNet:
         # (covering-tile forwards); other shapes fall back to the XLA
         # path.  ``tail_block`` is the Pallas (BZ, BY, BX) output block
         # (x is always full-width on real TPU — Mosaic lane rule).
-        if tail_impl not in ("xla", "pallas"):
+        #
+        # ``tail_impl="pallas_fold"``: route ONLY the level-0 fold conv
+        # (the single biggest in-chain collapse: 74.7 ms at 52.9 TF/s,
+        # unet_prefix2.jsonl) through the kernel and keep the following
+        # convs + logits on XLA.  The single-stage kernel sustains
+        # 83.9 useful TF/s at block (3,3,full-x) — 1.33x the XLA
+        # standalone anchor and 1.59x the in-chain rate (BENCH_NOTES
+        # round 6b) — while the full-chain variant is VMEM-walled at
+        # b2x2 where halo recompute eats the win.
+        if tail_impl not in ("xla", "pallas", "pallas_fold"):
             raise ValueError(f"unknown tail_impl {tail_impl!r}")
         self.inner = inner
         self.barriers = barriers
@@ -310,8 +319,27 @@ class PackedUNet:
                 return self._pallas_tail(
                     params, xin, conv_i, w_fold, b_fold
                 )
-            y = _conv2(xin, w_fold.astype(dt)) + b_fold.astype(dt)
-            x = jax.nn.relu(y)
+            if (
+                lev == 0
+                and self.tail_impl == "pallas_fold"
+                and not f32_logits
+                and xin.shape[0] == 1
+            ):
+                from .pallas_tail import packed_tail
+
+                # single-stage fused fold conv (+bias +ReLU, the
+                # kernel's epilogue) — same rounding points as the XLA
+                # spelling below, f32 tap-accumulation order differs
+                x = packed_tail(
+                    xin[0],
+                    [(w_fold.astype(dt), b_fold.astype(dt))],
+                    None,
+                    block=self.tail_block,
+                    interpret=jax.default_backend() != "tpu",
+                )[None]
+            else:
+                y = _conv2(xin, w_fold.astype(dt)) + b_fold.astype(dt)
+                x = jax.nn.relu(y)
             conv_i += 1
             for _ in range(cps - 1):
                 x = packed_conv_relu(x, conv_i)

@@ -84,6 +84,24 @@ def test_pallas_tail_impl_matches_xla_tail(small_unet, rng):
     np.testing.assert_array_equal(gotb, refb)
 
 
+def test_pallas_fold_tail_impl_matches_xla_tail(small_unet, rng):
+    """tail_impl="pallas_fold" (single-stage fused fold conv — the
+    shipped-by-evidence variant, BENCH_NOTES round 6b) == the XLA tail
+    up to f32 tap-accumulation order, with the batch>1 XLA fallback."""
+    spec, pspec, variables = small_unet
+    pspec_pf = packed_unet_spec(spec, tail_impl="pallas_fold")
+    s = pspec.min_size
+    x = jnp.asarray(rng.random((1, s, s, s, 1)), jnp.float32)
+    ref = np.asarray(pspec.module.apply(variables, x, train=False))
+    got = np.asarray(pspec_pf.module.apply(variables, x, train=False))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+    xb = jnp.concatenate([x, x + 0.25], axis=0)
+    refb = np.asarray(pspec.module.apply(variables, xb, train=False))
+    gotb = np.asarray(pspec_pf.module.apply(variables, xb, train=False))
+    np.testing.assert_array_equal(gotb, refb)
+
+
 def test_packed_unet_non_unet_returns_none():
     from flypylib_tpu.models.zoo import baseline_model
 
