@@ -24,17 +24,33 @@ Three throughputs are reported (round-2 judge contract):
 BASELINE.json:7 eval config 1), measured on a smaller cutout and
 normalized to Mvox/s.
 
-Prints ONE JSON line:
+Driver contract (round-4 restructure — a timeout can never erase the
+round again): sections run in priority order (1k^3 north star first),
+and after EVERY section the merged-so-far JSON line is printed and
+flushed, so the driver's "last JSON line of tail" is always the best
+available snapshot even if the process is killed mid-run.  A wall-clock
+budget (``--budget`` seconds or env ``BENCH_BUDGET_S``, default 2700)
+skips not-yet-started sections once exhausted.
+
+The final (and every intermediate) line looks like:
   {"metric": ..., "value": N, "unit": "Mvox/s", "vs_baseline": N, ...}
+with ``value`` = the chip-bound 1k^3 predict+NMS+CC Mvox/s (north star,
+BASELINE.json:5), ``wire_256_mvox_s`` keeping the r01/r02-comparable
+256^3 tunnel number, and ``north_star_tflops``/``north_star_mfu``
+reporting achieved model-TFLOP/s against the v5e bf16 peak.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# v5e (TPU v5 lite) bf16 peak, dense: 197 TFLOP/s/chip.
+_V5E_PEAK_TFLOPS = 197.0
 
 
 def make_volume(size: int, n_blobs: int, seed: int = 0) -> np.ndarray:
@@ -398,16 +414,38 @@ def bench_unet_1k(size: int = 1024):
     }
 
 
-_CPU_REF_SNIPPET = """
+_HOST_SNIPPET = """
 import json, time
 import numpy as np
 import jax
 jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 from bench import make_volume
-from flypylib_tpu.models.zoo import baseline_model
+from flypylib_tpu.models.zoo import baseline_model, unet
 from flypylib_tpu.ops.host_reference import components_host, nms_host
 
+out = {{}}
+
+# --- model FLOPs (XLA HLO cost analysis on CPU — backend-independent
+# flop count) per output voxel, compile-only, at a large-ish valid tile
+# so valid-conv edge overhead is small ---
+for name, spec_fn, s in (("baseline", baseline_model, 128),
+                         ("unet", unet, 128)):
+    spec = spec_fn(dtype=jnp.float32)
+    tin = spec.valid_size(s + 2 * spec.context)
+    v = spec.init(jax.random.PRNGKey(0), tin)
+    x = jnp.zeros((1, tin, tin, tin, 1), jnp.float32)
+    comp = jax.jit(
+        lambda v, x, m=spec.module: m.apply(v, x, train=False)
+    ).lower(v, x).compile()
+    ca = comp.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    tout = tin - 2 * spec.context
+    out[name + "_flops_per_voxel"] = float(ca["flops"]) / tout**3
+
+# --- flypylib-equivalent CPU reference (eval config 1, BASELINE.json:7):
+# conv forward on CPU + scipy NMS/CC on host ---
 size = {size}
 spec = baseline_model(dtype=jnp.float32)
 c = spec.context
@@ -424,25 +462,82 @@ prob = np.asarray(fwd(variables, x))
 nms_host(prob, window=5, threshold=thr)
 components_host(prob, threshold=thr)
 dt = time.perf_counter() - t0
-print(json.dumps({{"mvox_s": vol.size / dt / 1e6}}))
+out["mvox_s"] = vol.size / dt / 1e6
+print(json.dumps(out))
 """
 
 
-def bench_cpu_reference(size: int = 128):
-    """flypylib-equivalent CPU path: conv forward on CPU + scipy NMS/CC.
+def bench_host(size: int = 64):
+    """CPU reference + analytic model FLOPs, in one subprocess.
 
-    Runs in a subprocess because the sandbox pins JAX_PLATFORMS and the
-    parent process already initialized the TPU backend.
+    Subprocess because the sandbox pins JAX_PLATFORMS=axon and the
+    parent process already initialized the TPU backend.  ``size`` is
+    the CPU-reference cutout edge: the CPU path is ~1000x slower than
+    the chip, so a small cutout (already thousands of conv windows)
+    keeps the bench inside the driver budget; ``vs_baseline`` is a
+    ratio of two different-size runs, normalized to Mvox/s — the
+    ``cpu_reference_size`` field makes that explicit.
     """
     import subprocess
 
     out = subprocess.run(
-        [sys.executable, "-c", _CPU_REF_SNIPPET.format(size=size)],
+        [sys.executable, "-c", _HOST_SNIPPET.format(size=size)],
         capture_output=True, text=True, timeout=1200,
-        cwd=__import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+        cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     line = out.stdout.strip().splitlines()[-1]
-    return float(json.loads(line)["mvox_s"])
+    res = json.loads(line)
+    return {
+        "cpu_reference_mvox_s": res["mvox_s"],
+        "cpu_reference_size": size,
+        "baseline_flops_per_voxel": round(res["baseline_flops_per_voxel"]),
+        "unet_flops_per_voxel": round(res["unet_flops_per_voxel"]),
+    }
+
+
+def _assemble(acc: dict, progress: list, t_start: float) -> str:
+    """Merge accumulated section results into the driver JSON line."""
+    north = acc.get("device_resident_1k_mvox_s")
+    wire256 = acc.get("wire_256_mvox_s")
+    value = north if north is not None else wire256
+    cpu = acc.get("cpu_reference_mvox_s")
+    vs = (value / cpu) if (value and cpu) else None
+
+    derived = {}
+    fpv = acc.get("baseline_flops_per_voxel")
+    if fpv and north:
+        tf = fpv * north * 1e6 / 1e12
+        derived["north_star_tflops"] = round(tf, 1)
+        derived["north_star_mfu"] = round(tf / _V5E_PEAK_TFLOPS, 3)
+    ufpv = acc.get("unet_flops_per_voxel")
+    unet1k = acc.get("unet_1k_device_resident_mvox_s")
+    if ufpv and unet1k:
+        tf = ufpv * unet1k * 1e6 / 1e12
+        derived["unet_1k_tflops"] = round(tf, 1)
+        derived["unet_1k_mfu"] = round(tf / _V5E_PEAK_TFLOPS, 3)
+
+    line = {
+        # headline = the chip-bound 1k^3 north-star number [B:5] (model
+        # FLOPs in north_star_tflops/mfu vs the 197 TF/s v5e bf16 peak);
+        # wire_256_mvox_s keeps the r01/r02-comparable 256^3 tunnel
+        # end-to-end number (it was ``value`` through r02)
+        "metric": (
+            "1k^3 predict+nms+cc device-resident Mvox/s/chip "
+            "(north star; wire_256_mvox_s = 256^3 tunnel end-to-end, "
+            "the r01/r02 ``value``)"
+        ),
+        "value": round(value, 2) if value is not None else None,
+        "unit": "Mvox/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+        **derived,
+        **{
+            k: (round(v, 2) if isinstance(v, float) else v)
+            for k, v in acc.items()
+        },
+        "bench_sections": ",".join(progress),
+        "bench_elapsed_s": round(time.monotonic() - t_start, 1),
+    }
+    return json.dumps(line)
 
 
 def main():
@@ -454,56 +549,53 @@ def main():
     from flypylib_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    info = bench_tpu(size=size)
-    value = info.pop("value")
-    try:
-        stream = bench_staged_1k()
-    except Exception as e:  # keep the headline alive on OOM etc.
-        stream = {"streaming_1k_error": str(e)[:200]}
-    extras = {}
-    for name, fn in (("train", bench_train), ("unet", bench_unet),
-                     ("unet_1k", bench_unet_1k)):
+
+    args = sys.argv[1:]
+    budget = float(os.environ.get("BENCH_BUDGET_S", 2700))
+    size = 256
+    only = None
+    while args:
+        a = args.pop(0)
+        if a == "--budget":
+            budget = float(args.pop(0))
+        elif a == "--only":
+            only = set(args.pop(0).split(","))
+        else:
+            size = int(a)
+
+    def _tpu_256():
+        info = bench_tpu(size=size)
+        info["wire_256_mvox_s"] = info.pop("value")
+        return info
+
+    # priority order: the two Done-criteria numbers (north star, U-Net
+    # 1k^3) and the vs_baseline anchor come first; a kill mid-run only
+    # costs the sections not yet reached
+    sections = [
+        ("staged_1k", bench_staged_1k),
+        ("unet_1k", bench_unet_1k),
+        ("host", bench_host),
+        ("tpu_256", _tpu_256),
+        ("train", bench_train),
+        ("unet", bench_unet),
+    ]
+
+    t_start = time.monotonic()
+    acc: dict = {}
+    progress: list = []
+    for name, fn in sections:
+        if only is not None and name not in only:
+            continue
+        if time.monotonic() - t_start > budget:
+            progress.append(f"{name}:skipped")
+            continue
         try:
-            extras.update(fn())
+            acc.update(fn())
+            progress.append(name)
         except Exception as e:
-            extras[f"{name}_error"] = str(e)[:200]
-    try:
-        # small cutout: the CPU path is ~1000x slower, a 64^3 measurement
-        # already averages thousands of conv windows and keeps total bench
-        # wall-clock within the driver's budget
-        baseline = bench_cpu_reference(size=min(size, 64))
-        vs = value / baseline
-    except Exception:
-        baseline, vs = None, None
-    north = stream.get("device_resident_1k_mvox_s")
-    print(
-        json.dumps(
-            {
-                # headline = the chip-bound 1k^3 north-star number [B:5];
-                # ``value`` stays the 256^3 tunnel-wire end-to-end for
-                # r01/r02 comparability
-                "metric": (
-                    "1k^3 predict+nms+cc device-resident "
-                    f"{north if north is None else round(north, 1)} Mvox/s"
-                    "/chip (north star; value = 256^3 tunnel-wire "
-                    "end-to-end for r01 comparability)"
-                ),
-                "value": round(value, 2),
-                "unit": "Mvox/s",
-                "device_resident_1k_mvox_s": (
-                    None if north is None else round(north, 2)
-                ),
-                "vs_baseline": round(vs, 2) if vs else None,
-                "cpu_reference_mvox_s": round(baseline, 2) if baseline else None,
-                **{
-                    k: (round(v, 2) if isinstance(v, float) else v)
-                    for k, v in {**info, **stream, **extras}.items()
-                    if k != "device_resident_1k_mvox_s"
-                },
-            }
-        )
-    )
+            acc[f"{name}_error"] = str(e)[:200]
+            progress.append(f"{name}:error")
+        print(_assemble(acc, progress, t_start), flush=True)
 
 
 if __name__ == "__main__":

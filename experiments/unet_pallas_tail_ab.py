@@ -59,8 +59,14 @@ def main():
     blocks = []
     for a in sys.argv[1:]:
         kind = "pallas_fold" if a.startswith("fold") else "pallas"
-        bz, by = a.lstrip("foldchain").split("x")
-        blocks.append((kind, int(bz), int(by)))
+        rest = a.removeprefix("fold").removeprefix("chain")
+        parts = rest.split("x")
+        if len(parts) != 2 or not all(p.isdigit() for p in parts):
+            raise SystemExit(
+                f"bad variant {a!r}: expected fold<Z>x<Y> or chain<Z>x<Y>"
+                " (e.g. fold3x3)"
+            )
+        blocks.append((kind, int(parts[0]), int(parts[1])))
     if not blocks:
         blocks = [("pallas_fold", 3, 3)]
 

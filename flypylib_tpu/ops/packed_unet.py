@@ -32,6 +32,7 @@ for checkpoints and Keras import).
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -184,11 +185,13 @@ class PackedUNet:
         # ``tail_impl="pallas_fold"``: route ONLY the level-0 fold conv
         # (the single biggest in-chain collapse: 74.7 ms at 52.9 TF/s,
         # unet_prefix2.jsonl) through the kernel and keep the following
-        # convs + logits on XLA.  The single-stage kernel sustains
+        # convs + logits on XLA.  STANDALONE-kernel winner only so far:
         # 83.9 useful TF/s at block (3,3,full-x) — 1.33x the XLA
-        # standalone anchor and 1.59x the in-chain rate (BENCH_NOTES
-        # round 6b) — while the full-chain variant is VMEM-walled at
-        # b2x2 where halo recompute eats the win.
+        # standalone anchor (BENCH_NOTES round 6b) — but the in-chain
+        # full-forward A/B (experiments/unet_pallas_tail_ab.py) is
+        # still pending, and round 6a showed an in-chain boundary
+        # tensor can erase a standalone win.  The full-chain "pallas"
+        # variant is VMEM-walled at b2x2 where halo recompute eats it.
         if tail_impl not in ("xla", "pallas", "pallas_fold"):
             raise ValueError(f"unknown tail_impl {tail_impl!r}")
         self.inner = inner
@@ -310,6 +313,25 @@ class PackedUNet:
             sc = crop_packed(skip, starts, sizes)
 
             xin = jnp.concatenate([sc, x.astype(dt)], axis=-1)
+            if (
+                lev == 0
+                and self.tail_impl != "xla"
+                and (xin.shape[0] != 1 or f32_logits)
+            ):
+                # trace-time warning (shapes are static): a non-xla
+                # tail_impl quietly mixing Pallas (batch-1 tiles) and
+                # XLA (batched tiles) f32 accumulation orders would
+                # break the tiled==monolithic bitwise invariant for
+                # opt-in users — ADVICE round 3
+                warnings.warn(
+                    f"tail_impl={self.tail_impl!r} supports only "
+                    "batch-1 bf16-logits inference; this shape falls "
+                    "back to the XLA tail, whose f32 accumulation "
+                    "order differs from the Pallas kernel — bitwise "
+                    "tiled==monolithic holds only within one tail "
+                    "implementation",
+                    stacklevel=2,
+                )
             if (
                 lev == 0
                 and self.tail_impl == "pallas"
@@ -440,7 +462,15 @@ def packed_unet_spec(spec: ModelSpec,
                      tail_impl: str = "xla") -> ModelSpec | None:
     """A ModelSpec running a UNetValid ``spec`` through the packed
     engine, or ``None`` when the module is not a UNetValid.  Shares the
-    inner params tree; exports the packed (stricter) size constraints."""
+    inner params tree; exports the packed (stricter) size constraints.
+
+    ``tail_impl`` other than ``"xla"`` routes the level-0 decoder tail
+    through the Pallas kernel for **batch-1 bf16-logits inference
+    only**; batched or f32-logits shapes fall back to the XLA tail
+    (with a one-time warning).  Because Pallas and XLA f32 accumulation
+    orders differ, the tiled==monolithic *bitwise* invariant holds only
+    when every tile takes the same tail path — keep batch geometry
+    uniform when opting in."""
     module = spec.module
     if not isinstance(module, UNetValid):
         return None

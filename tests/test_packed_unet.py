@@ -85,9 +85,10 @@ def test_pallas_tail_impl_matches_xla_tail(small_unet, rng):
 
 
 def test_pallas_fold_tail_impl_matches_xla_tail(small_unet, rng):
-    """tail_impl="pallas_fold" (single-stage fused fold conv — the
-    shipped-by-evidence variant, BENCH_NOTES round 6b) == the XLA tail
-    up to f32 tap-accumulation order, with the batch>1 XLA fallback."""
+    """tail_impl="pallas_fold" (single-stage fused fold conv —
+    standalone-kernel winner, in-chain A/B pending; BENCH_NOTES round
+    6b) == the XLA tail up to f32 tap-accumulation order, with the
+    batch>1 XLA fallback."""
     spec, pspec, variables = small_unet
     pspec_pf = packed_unet_spec(spec, tail_impl="pallas_fold")
     s = pspec.min_size
