@@ -45,8 +45,51 @@ class TrainConfig:
     # "plain" runs the Flax module; "packed" differentiates the
     # space-to-depth engine's forward_train (ConvStack without
     # BatchNorm, or the valid-conv U-Net) — same objective up to bf16
-    # rounding (tests/test_packed_conv.py, tests/test_packed_unet.py)
-    engine: str = "plain"
+    # rounding (tests/test_packed_conv.py, tests/test_packed_unet.py).
+    # "auto" (default) picks the measured-faster engine for the batch
+    # size: the packed engine wins at interactive batches (2.2x at
+    # b32) but its per-voxel relayout tax caps it ~125 patch-Mvox/s,
+    # while plain keeps scaling with batch and peaks at b128 = 173
+    # (experiments/train_batch_probe.jsonl, BENCH_NOTES round 4c) —
+    # so auto resolves to packed below the measured crossover when the
+    # model supports it, else plain.
+    engine: str = "auto"
+
+
+# Measured packed-vs-plain crossover (BENCH_NOTES round 4c): packed
+# wins at batch 64 (119.9 vs 91.8 patch-Mvox/s), plain at batch 128
+# (173.2 vs 124.4); the midpoint gates "auto".
+_PACKED_BATCH_CROSSOVER = 96
+
+
+def resolve_engine(spec: ModelSpec, cfg: TrainConfig) -> str:
+    """The concrete engine ("plain" | "packed") a config runs.
+
+    ``engine="auto"`` resolves to "packed" when the batch size is below
+    the measured crossover AND the model has a differentiable packed
+    forward (ConvStack without BatchNorm, or a valid-conv U-Net);
+    otherwise "plain".  Explicit engines pass through (and keep their
+    hard error on unsupported models, in resolve_train_spec)."""
+    if cfg.engine != "auto":
+        if cfg.engine not in ("plain", "packed"):
+            raise ValueError(f"unknown engine {cfg.engine!r}")
+        return cfg.engine
+    if cfg.batch_size >= _PACKED_BATCH_CROSSOVER:
+        return "plain"
+    from flypylib_tpu.ops.packed_conv import PackedConvStack, packed_spec
+    from flypylib_tpu.ops.packed_unet import PackedUNet, packed_unet_spec
+
+    module = spec.module
+    if isinstance(module, (PackedConvStack, PackedUNet)):
+        if getattr(module, "stage_b", "split") == "group":
+            return "plain"  # forward_train supports stage_b="split" only
+        module = module.inner
+        pspec = spec
+    else:
+        pspec = packed_spec(spec) or packed_unet_spec(spec)
+    if pspec is None or getattr(module, "use_batchnorm", False):
+        return "plain"  # no differentiable packed forward for this model
+    return "packed"
 
 
 class TrainState(struct.PyTreeNode):
@@ -188,11 +231,12 @@ def _gather(vols, vidx, corner, size):
 def resolve_train_spec(spec: ModelSpec, cfg: TrainConfig) -> ModelSpec:
     """The spec the train step actually differentiates.
 
-    ``engine="packed"`` swaps in the packed spec (same params tree,
-    stricter size constraints — its valid_size governs patch sampling,
-    so Trainer.fit and make_loss_fn must both resolve through here).
+    ``engine="packed"`` (or "auto" resolving to it) swaps in the packed
+    spec (same params tree, stricter size constraints — its valid_size
+    governs patch sampling, so Trainer.fit and make_loss_fn must both
+    resolve through here).
     """
-    if cfg.engine == "packed":
+    if resolve_engine(spec, cfg) == "packed":
         from flypylib_tpu.ops.packed_conv import PackedConvStack, packed_spec
         from flypylib_tpu.ops.packed_unet import PackedUNet, packed_unet_spec
 
@@ -205,8 +249,6 @@ def resolve_train_spec(spec: ModelSpec, cfg: TrainConfig) -> ModelSpec:
                 f"(got {spec.module!r})"
             )
         return pspec
-    if cfg.engine != "plain":
-        raise ValueError(f"unknown engine {cfg.engine!r}")
     return spec
 
 
@@ -216,9 +258,10 @@ def make_loss_fn(spec: ModelSpec, cfg: TrainConfig, shard_batch=None):
 
     Returns ``(loss_fn, patch_size)``.
     """
+    engine = resolve_engine(spec, cfg)
     spec = resolve_train_spec(spec, cfg)
     packed_fwd = (
-        spec.module.forward_train if cfg.engine == "packed" else None
+        spec.module.forward_train if engine == "packed" else None
     )
     patch = spec.valid_size(cfg.patch_size)
     ctx = spec.context

@@ -276,3 +276,33 @@ def test_packed_engine_mesh_dp_matches_single_chip():
     for a, b in zip(jax.tree_util.tree_leaves(tr_single.state.params),
                     jax.tree_util.tree_leaves(tr_dp.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_auto_engine_resolution():
+    """engine="auto" (the default) resolves to the measured-faster
+    engine per batch size (BENCH_NOTES round 4c crossover) and falls
+    back to plain when the model has no differentiable packed forward."""
+    from flypylib_tpu.models.zoo import unet
+    from flypylib_tpu.train.trainer import resolve_engine
+
+    spec = small_spec()
+    assert TrainConfig().engine == "auto"
+    assert resolve_engine(spec, TrainConfig(batch_size=32)) == "packed"
+    assert resolve_engine(spec, TrainConfig(batch_size=128)) == "plain"
+    # explicit engines pass through regardless of batch
+    assert resolve_engine(
+        spec, TrainConfig(batch_size=128, engine="packed")) == "packed"
+    assert resolve_engine(
+        spec, TrainConfig(batch_size=8, engine="plain")) == "plain"
+    # BatchNorm ConvStack: packed forward_train is inference-mode
+    # semantics (folds running stats), so auto stays plain
+    from flypylib_tpu.models.zoo import ConvStack, ModelSpec
+
+    bn_mod = ConvStack(features=(8, 8), dilations=(1, 1),
+                       head_features=16, use_batchnorm=True)
+    bn = ModelSpec(name="bn", module=bn_mod, context=2, min_size=5)
+    assert resolve_engine(bn, TrainConfig(batch_size=8)) == "plain"
+    # U-Net has a differentiable packed forward
+    assert resolve_engine(unet(), TrainConfig(batch_size=8)) == "packed"
+    # NB test_loss_decreases exercises the auto default end-to-end
+    # (batch 16 -> packed)
