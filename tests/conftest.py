@@ -55,3 +55,63 @@ def make_blob_volume(shape=(48, 48, 48), centers=None, sigma=2.5, rng=None):
 @pytest.fixture
 def blob_volume():
     return make_blob_volume()
+
+
+# ---------------------------------------------------------------------------
+# Fast tier: `pytest -m "not slow"` (VERDICT round-3 item 7 — protect any
+# driver-budgeted run from the cold-cache compile wall; the full suite is
+# ~20-25 min cold on this 1-CPU sandbox, dominated by the entries below).
+# Centralized nodeid-prefix list instead of per-file decorators so the
+# tier can be retuned from one place against `--durations` data.
+_SLOW_NODEIDS = [
+    # module-scoped trained-network fixture (~350 s setup) + its users
+    "test_network_api.py::test_train_decreases_loss",
+    "test_network_api.py::test_infer_and_detect",
+    "test_network_api.py::test_nms_components_verbs",
+    "test_network_api.py::test_checkpoint_roundtrip",
+    "test_network_api.py::test_evaluate_on_prob_map",
+    "test_network_api.py::test_detect_large_verb",
+    "test_network_api.py::test_unet_train_smoke",
+    "test_network_api.py::test_model_zoo_names",
+    "test_train.py::test_loss_decreases",
+    "test_train.py::test_packed_engine_matches_plain",
+    "test_train.py::test_uint8_image_training",
+    "test_packed_unet.py::",  # whole file: packed U-Net forward/grad A/Bs
+    "test_packed_conv.py::test_stage_b_group_equals_split",
+    "test_packed_conv.py::test_packed_apply_matches_convstack",
+    "test_packed_conv.py::test_forward_train_matches_plain_and_grads",
+    "test_packed_conv.py::test_packed_spec_rejects_unet",
+    "test_packed_conv.py::test_packed_spec_geometry_and_tiling",
+    "test_infer_tiled.py::test_default_tiling_regimes",
+    "test_infer_tiled.py::test_infer_uint8_wire_bitwise",
+    "test_infer_tiled.py::test_tiled_unet",
+    "test_infer_tiled.py::test_network_default_tiling_matches_explicit",
+    "test_distributed.py::test_two_process_distributed_cpu",
+    "test_property_fuzz.py::test_components_fuzz",
+    "test_property_fuzz.py::test_sharded_components_2d_fuzz",
+    "test_property_fuzz.py::test_nms_fuzz",
+    "test_property_fuzz.py::test_streaming_components_fuzz",
+    "test_property_fuzz.py::test_sharded_nms_2d_fuzz",
+    "test_large.py::test_staged_chunked_bit_identical",
+    "test_large.py::test_staged_shared_anisotropic_core_and_edges",
+    "test_large.py::test_pooled_default_core_and_tile",
+    "test_large.py::test_staged_shared_forward_pooled",
+    "test_large.py::test_streaming_multi_device_pooled",
+    "test_large.py::test_streaming_multi_device",
+    "test_large.py::test_staged_shared_forward_multi_device",
+    "test_large.py::test_streaming_shared_pooled",
+    "test_detect_ops.py::test_compact_true_indices_matches_nonzero",
+    "test_metrics_and_import.py::test_keras_unet_roundtrip",
+    "test_parallel.py::test_dp_train_step_matches_single_chip",
+    "test_parallel.py::test_dp_train_step_loss_decreases",
+    "test_matching.py::test_voxel_pr_streaming_matches_monolithic",
+    "test_matching.py::test_match_detections_large_uses_kdtree",
+    "test_pallas_tail.py::test_chain_with_logits_matches_lax",
+]
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nodeid = item.nodeid.replace("tests/", "", 1)
+        if any(nodeid.startswith(pfx) for pfx in _SLOW_NODEIDS):
+            item.add_marker(pytest.mark.slow)
