@@ -53,7 +53,7 @@ def main():
     # it straight into the scan's jnp.sum lets XLA delete the relayout
     # (measured 0.0 ms) — the honest XLA anchor is the in-context
     # phase-A delta (~5 ms; BENCH_NOTES round 5)
-    for variant in ("slices", "moveaxis"):
+    for variant in ("hbm",):
         f_pl = jax.jit(
             functools.partial(parity_split_pallas, variant=variant)
         )
@@ -95,7 +95,7 @@ def main():
     out["phase_a_xla_ms"] = round(
         scan_time(lambda xv: pm.apply_stage_a(variables, xv), (x0,)) * 1e3, 3
     )
-    for variant in ("slices", "moveaxis"):
+    for variant in ("hbm",):
         out[f"phase_a_{variant}_ms"] = round(
             scan_time(
                 lambda xv, v=variant: phase_a_pallas(xv, v), (x0,)

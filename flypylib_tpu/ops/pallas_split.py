@@ -40,12 +40,43 @@ def _split_kernel(x_ref, out_ref, *, c: int, variant: str):
         for p in range(8):
             out_ref[0, p, 0] = x_ref[0, 0, :, :, p * c : (p + 1) * c]
     elif variant == "moveaxis":
-        # one store: let Mosaic schedule the whole shuffle at once
+        # one store: let Mosaic schedule the whole shuffle at once.
+        # REJECTED: Mosaic "infer-vector-layout: unsupported shape
+        # cast" on the lane-dim reshape (psplit_pallas.jsonl).
         h, w = x_ref.shape[2], x_ref.shape[3]
         x = x_ref[0, 0].reshape(h, w, 8, c)
         out_ref[0, :, 0] = jnp.moveaxis(x, 2, 0)
     else:
         raise ValueError(variant)
+
+
+def _split_kernel_dma(x_ref, out_ref):
+    # pure copy: the grid's parity axis selects a 32-lane input window,
+    # so the HBM->VMEM DMA does the gather and the kernel never
+    # shuffles lanes.  x_ref: (1, ZB, H, W, c); out_ref: (1, 1, ZB, H, W, c).
+    # REJECTED: Pallas TPU refuses lane-dim blocks that are not
+    # 128-divisible or full (32 of 256 is neither).
+    out_ref[0, 0] = x_ref[0]
+
+
+def _split_kernel_hbm(x_ref, out_ref, sems, *, c: int):
+    # HBM->HBM DMA orchestration: one program per batch element issues 8
+    # strided copies (one per parity channel-slice) straight between the
+    # HBM tensors — no VMEM residency, no lane shuffles; the copy engine
+    # does the element-granular gather the BlockSpec pipeline refuses.
+    i = pl.program_id(0)
+
+    def copy(p):
+        return pltpu.make_async_copy(
+            x_ref.at[i, :, :, :, pl.ds(p * c, c)],
+            out_ref.at[i, p],
+            sems.at[p],
+        )
+
+    for p in range(8):
+        copy(p).start()
+    for p in range(8):
+        copy(p).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "variant"))
@@ -58,6 +89,63 @@ def parity_split_pallas(x: jax.Array, interpret: bool = False,
     """
     b, d, h, w, c8 = x.shape
     c = c8 // 8
+    cost = pl.CostEstimate(
+        flops=0,
+        bytes_accessed=2 * x.size * x.dtype.itemsize,
+        transcendentals=0,
+    )
+
+    if variant == "hbm":
+        out = pl.pallas_call(
+            functools.partial(_split_kernel_hbm, c=c),
+            grid=(b,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_shape=jax.ShapeDtypeStruct((b, 8, d, h, w, c), x.dtype),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((8,))],
+            cost_estimate=cost,
+            interpret=interpret,
+        )(x)
+        return out.reshape(8 * b, d, h, w, c)
+
+    if variant == "dma":
+        # z-chunk so one program's in+out VMEM stays ~small
+        zb = d
+        while zb > 1 and zb * h * w * c * x.dtype.itemsize > (3 << 20):
+            zb -= 1
+        while d % zb:
+            zb -= 1
+        out = pl.pallas_call(
+            _split_kernel_dma,
+            grid=(b, d // zb, 8),
+            in_specs=[
+                pl.BlockSpec(
+                    (
+                        pl.Element(1),
+                        pl.Element(zb),
+                        pl.Element(h),
+                        pl.Element(w),
+                        pl.Element(c),
+                    ),
+                    lambda i, j, k: (i, j * zb, 0, 0, k * c),
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (
+                    pl.Element(1),
+                    pl.Element(1),
+                    pl.Element(zb),
+                    pl.Element(h),
+                    pl.Element(w),
+                    pl.Element(c),
+                ),
+                lambda i, j, k: (i, k, j * zb, 0, 0, 0),
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, 8, d, h, w, c), x.dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(x)
+        return out.reshape(8 * b, d, h, w, c)
 
     grid = (b, d)
     out = pl.pallas_call(
@@ -87,11 +175,7 @@ def parity_split_pallas(x: jax.Array, interpret: bool = False,
             lambda i, j: (i, 0, j, 0, 0, 0),
         ),
         out_shape=jax.ShapeDtypeStruct((b, 8, d, h, w, c), x.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=0,
-            bytes_accessed=2 * x.size * x.dtype.itemsize,
-            transcendentals=0,
-        ),
+        cost_estimate=cost,
         interpret=interpret,
     )(x)
     return out.reshape(8 * b, d, h, w, c)

@@ -22,10 +22,13 @@ from flypylib_tpu.ops.pallas_split import (
 )
 def test_matches_xla_spelling_bitwise(shape, rng):
     x = jnp.asarray(rng.random(shape).astype(np.float32))
-    got = np.asarray(parity_split_pallas(x, interpret=True))
     ref = np.asarray(parity_split_xla(x))
-    assert got.shape == ref.shape
-    np.testing.assert_array_equal(got, ref)
+    for variant in ("slices", "dma"):
+        got = np.asarray(
+            parity_split_pallas(x, interpret=True, variant=variant)
+        )
+        assert got.shape == ref.shape
+        np.testing.assert_array_equal(got, ref)
 
 
 def test_matches_packed_conv_split(rng):
