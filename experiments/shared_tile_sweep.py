@@ -47,11 +47,6 @@ def main():
     common = dict(window=5, threshold=thr,
                   max_detections_per_roi=32768,
                   max_components_per_roi=32768, method="both")
-    plan = make_stream_plan(pspec, variables, vol.shape, core=512,
-                            **common)
-    staged = stage_volume_chunked(vol, plan=plan)
-    np.asarray(jax.device_get(staged.chunks[-1][:1, :1, :1]))
-
     base = None
     import os
     variants = ((64, 16), (128, 8), (128, 16), (176, 4), (64, 32))
@@ -62,12 +57,19 @@ def main():
             for v in pick.split(",")
         )
     for t_out, t_batch in variants:
-        plan._fp = DetectPipeline(
-            pspec, variables, vol_shape=plan.shape,
-            tile_out=t_out, tile_batch=t_batch, window=plan.window,
-            threshold=plan.threshold, max_detections=1,
-            run_cc=False, pre_padded=True,
-        )
+        # A fresh CONSISTENT plan per variant (round-7 fix): poking
+        # plan._fp with a different tile geometry silently desynced the
+        # staged buffer from the pipeline's grid-extended padded_shape
+        # for non-1024-dividing tiles (t72's plan extends out_shape to
+        # 1080^3; dynamic_slice clamps and the far-edge band computes on
+        # wrong voxels — detections were off by -12k at t72/-4k at t96
+        # while rates stayed ~honest).  make_stream_plan(tile_out=...)
+        # keeps grid, staging, and pipeline geometry consistent.
+        plan = make_stream_plan(pspec, variables, vol.shape, core=512,
+                                tile_out=t_out, tile_batch=t_batch,
+                                **common)
+        staged = stage_volume_chunked(vol, plan=plan)
+        np.asarray(jax.device_get(staged.chunks[-1][:1, :1, :1]))
         # warm-up: compile the full shared path on a 1-ROI grid
         grid = plan.grid
         plan.grid = grid[:1]

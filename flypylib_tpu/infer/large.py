@@ -572,6 +572,16 @@ class _StreamPlan:
             ext = max(vol_shape)
             t_out = _default_tile(ext, spec)
             t_batch = min(16, max(1, (ext // t_out) ** 2))
+        # honor the caller's explicit make_stream_plan(tile_out=,
+        # tile_batch=) in shared mode too (round-7 fix: they silently
+        # applied only to the per-ROI pipe; experiments poking _fp to
+        # work around it desynced the staged geometry — BENCH_NOTES).
+        # The policy default stays for None; explicit shapes are the
+        # caller's responsibility (NB tin 300 crashes the TPU worker).
+        if self.req_tile[0] is not None:
+            t_out = min(int(self.req_tile[0]), max(vol_shape))
+        if self.req_tile[1] is not None:
+            t_batch = int(self.req_tile[1])
         return DetectPipeline(
             spec, self.pipe.variables, vol_shape=vol_shape,
             tile_out=t_out, tile_batch=t_batch, window=self.window,
