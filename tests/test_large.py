@@ -1061,3 +1061,39 @@ def test_streaming_multi_device_pooled(rng):
     np.testing.assert_array_equal(single.locs, multi.locs)
     np.testing.assert_array_equal(single.conf, multi.conf)
     assert_same_detections(nms_host(prob, window=3, threshold=thr), multi)
+
+
+def test_stream_plan_explicit_tile_flows_to_shared_pipe(model, rng):
+    """make_stream_plan(tile_out=, tile_batch=) governs the SHARED
+    whole-volume forward too (round-7 fix: it silently applied only to
+    the per-ROI pipe), and detections stay identical to the policy
+    default even when the explicit tile does not divide the volume
+    (grid-extension masking is exact — also validated bit-identical at
+    1k^3 on TPU, experiments/shared_tile_sweep.jsonl)."""
+    from flypylib_tpu.infer.large import (
+        detect_staged,
+        make_stream_plan,
+        stage_volume_chunked,
+    )
+
+    spec, variables = model
+    shape = (40, 40, 40)
+    vol = (rng.random(shape) * 255).astype(np.uint8)
+    common = dict(window=3, threshold=0.55, max_detections_per_roi=512,
+                  max_components_per_roi=512, method="both")
+
+    plan_dflt = make_stream_plan(spec, variables, shape, core=20, **common)
+    plan_t14 = make_stream_plan(spec, variables, shape, core=20,
+                                tile_out=14, tile_batch=2, **common)
+    assert plan_t14.full_pipe()._tiled.tile_out == 14
+    assert plan_t14.full_pipe()._tiled.tile_batch == 2
+    assert plan_dflt.full_pipe()._tiled.tile_out != 14
+
+    staged_d = stage_volume_chunked(vol, plan=plan_dflt)
+    staged_t = stage_volume_chunked(vol, plan=plan_t14)
+    det_d = detect_staged(spec, variables, vol, staged=staged_d,
+                          plan=plan_dflt, forward="shared", **common)
+    det_t = detect_staged(spec, variables, vol, staged=staged_t,
+                          plan=plan_t14, forward="shared", **common)
+    for a, b in zip(det_d, det_t):
+        np.testing.assert_array_equal(a.locs, b.locs)
