@@ -92,6 +92,7 @@ _SLOW_NODEIDS = [
     "test_property_fuzz.py::test_nms_fuzz",
     "test_property_fuzz.py::test_streaming_components_fuzz",
     "test_property_fuzz.py::test_sharded_nms_2d_fuzz",
+    "test_property_fuzz.py::test_shared_forward_tile_fuzz",
     "test_large.py::test_staged_chunked_bit_identical",
     "test_large.py::test_staged_shared_anisotropic_core_and_edges",
     "test_large.py::test_pooled_default_core_and_tile",

@@ -108,3 +108,48 @@ def test_streaming_components_fuzz(vol_s, core):
         threshold=thr, method="components", max_components_per_roi=256,
     )
     assert_same_detections(host, dev, loc_tol=1e-3)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vol_s=volumes,
+    tile_out=st.integers(6, 24),
+    tile_batch=st.sampled_from([1, 2, 4]),
+    core=st.sampled_from([12, 16, 24]),
+)
+def test_shared_forward_tile_fuzz(vol_s, tile_out, tile_batch, core):
+    """Shared-mode detect_staged with ARBITRARY explicit tilings
+    (round-7: tile_out/tile_batch now flow to the shared forward) gives
+    detections identical to the scipy host reference — non-dividing
+    tiles exercise the grid-extension masking."""
+    import jax
+    import jax.numpy as jnp
+
+    from flypylib_tpu.infer.large import (
+        detect_staged,
+        make_stream_plan,
+        stage_volume_chunked,
+    )
+    from flypylib_tpu.models.zoo import baseline_model
+    from flypylib_tpu.ops.host_reference import nms_host
+    from tests.test_pipeline import reference_prob
+
+    vol, sparsity = vol_s
+    if min(vol.shape) < 10:
+        return
+    spec = baseline_model(features=(2,), dilations=(1,), head_features=2,
+                          dtype=jnp.float32)
+    variables = spec.init(jax.random.PRNGKey(0), 8)
+    prob = reference_prob(spec, variables, vol)
+    thr = float(np.quantile(prob, max(sparsity, 0.7)))
+    host = nms_host(prob, window=3, threshold=thr)
+
+    common = dict(window=3, threshold=thr, max_detections_per_roi=256,
+                  max_components_per_roi=256, method="nms")
+    plan = make_stream_plan(spec, variables, vol.shape, core=core,
+                            tile_out=tile_out, tile_batch=tile_batch,
+                            **common)
+    staged = stage_volume_chunked(vol, plan=plan)
+    dev = detect_staged(spec, variables, vol, staged=staged, plan=plan,
+                        forward="shared", **common)
+    assert_same_detections(host, dev, loc_tol=1e-3)
