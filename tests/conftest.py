@@ -94,6 +94,12 @@ _SLOW_NODEIDS = [
     "test_property_fuzz.py::test_sharded_nms_2d_fuzz",
     "test_property_fuzz.py::test_shared_forward_tile_fuzz",
     "test_large.py::test_staged_chunked_bit_identical",
+    "test_large.py::test_staged_shared_multi_device_pooled",
+    "test_network_api.py::test_detect_large_devices_passthrough",
+    "test_packed_conv.py::test_packed_pipeline_detections",
+    "test_packed_conv.py::test_two_phase_apply_equals_forward",
+    "test_packed_conv.py::test_forward_train_rejections",
+    "test_metrics_and_import.py::test_keras_order_import_rejects_unet",
     "test_large.py::test_staged_shared_anisotropic_core_and_edges",
     "test_large.py::test_pooled_default_core_and_tile",
     "test_large.py::test_staged_shared_forward_pooled",

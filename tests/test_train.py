@@ -40,7 +40,11 @@ def test_loss_decreases():
 
 def test_determinism():
     image, labels, mask, _ = synthetic_task()
-    cfg = TrainConfig(patch_size=13, batch_size=8, steps_per_epoch=5)
+    # engine pinned to plain to keep this quick invariant in the fast
+    # tier (auto->packed at batch 8 costs ~7 s more of CPU compiles;
+    # packed determinism is covered by test_packed_engine_matches_plain)
+    cfg = TrainConfig(patch_size=13, batch_size=8, steps_per_epoch=5,
+                      engine="plain")
     h1 = Trainer(small_spec(), cfg, seed=7).fit(image, labels, mask)
     h2 = Trainer(small_spec(), cfg, seed=7).fit(image, labels, mask)
     assert h1[0]["loss"] == h2[0]["loss"]
@@ -302,7 +306,9 @@ def test_auto_engine_resolution():
                        head_features=16, use_batchnorm=True)
     bn = ModelSpec(name="bn", module=bn_mod, context=2, min_size=5)
     assert resolve_engine(bn, TrainConfig(batch_size=8)) == "plain"
-    # U-Net has a differentiable packed forward
-    assert resolve_engine(unet(), TrainConfig(batch_size=8)) == "packed"
+    # U-Net has a differentiable packed forward (tiny config: the
+    # geometry probe of the full zoo unet costs ~40 s of CPU compiles)
+    tiny_unet = unet(base_features=4, levels=1, convs_per_stage=1)
+    assert resolve_engine(tiny_unet, TrainConfig(batch_size=8)) == "packed"
     # NB test_loss_decreases exercises the auto default end-to-end
     # (batch 16 -> packed)
