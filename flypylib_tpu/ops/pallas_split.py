@@ -8,10 +8,17 @@ at ~400 GB/s effective — 4.8 ms, ~21% of the whole forward, and every
 XLA-level respelling measured WORSE (BENCH_NOTES rounds 5 and 7a: the
 cost is the relayout op itself, not the padded write bytes — a dense
 destination does not help, and grouped-conv consumers lose more).
-This kernel is the remaining lever: a hand relayout that streams one
-(h, w, 8c) plane per grid step through VMEM and stores the 8 parity
-channel-slices directly, targeting HBM speed (~2.3 ms for the same
-bytes).
+STATUS: measured-and-REJECTED (BENCH_NOTES round 7c) — kept as the
+documented negative result closing the axis.  Of four formulations,
+only the per-plane channel-slice store compiles, and it LOSES to the
+XLA transpose in context (phase A 11.88 vs 10.24 ms; 6.72 ms
+standalone vs ~5 effective): Mosaic serializes the 8 lane-offset
+shuffles.  The ~2.3 ms HBM floor is unreachable because every
+alternative trips an alignment wall at the odd (36^3) production
+extents — single-store moveaxis ("unsupported shape cast"), 32-lane
+BlockSpec windows (lane blocks must be 128-divisible or full), and
+HBM->HBM strided DMA ("slice shape along dim 3 must be aligned to
+tiling (8)").  Production keeps the XLA spelling.
 
 Semantics: ``parity_split_pallas(x)`` == the production spelling
 
