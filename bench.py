@@ -495,6 +495,58 @@ def bench_host(size: int = 64):
     }
 
 
+_VS_PREV_KEYS = (
+    # headline metrics guarded against silent round-to-round drift
+    # (VERDICT r04 weak #7: wire_256 35.2 -> 29.5 went unflagged)
+    "device_resident_1k_mvox_s",
+    "unet_1k_device_resident_mvox_s",
+    "streaming_1k_mvox_s",
+    "wire_256_mvox_s",
+    "train_patch_mvox_s",
+    "train_packed_patch_mvox_s",
+    "train_b128_patch_mvox_s",
+)
+
+
+def _load_prev_bench() -> dict:
+    """Headline metrics from the newest BENCH_r*.json (driver-recorded)."""
+    import glob
+    import re
+
+    best_n, best = -1, {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            parsed = rec.get("parsed") or {}
+        except Exception:
+            continue
+        if int(m.group(1)) > best_n and parsed:
+            best_n, best = int(m.group(1)), parsed
+    return best
+
+
+_PREV_BENCH = None
+
+
+def _vs_prev(acc: dict) -> dict:
+    """Per-headline ratio vs the previous round's recorded bench line."""
+    global _PREV_BENCH
+    if _PREV_BENCH is None:
+        _PREV_BENCH = _load_prev_bench()
+    out = {}
+    for k in _VS_PREV_KEYS:
+        cur, prev = acc.get(k), _PREV_BENCH.get(k)
+        if isinstance(cur, (int, float)) and isinstance(prev, (int, float)) \
+                and prev:
+            out[f"{k}_vs_prev"] = round(cur / prev, 3)
+    return out
+
+
 def _assemble(acc: dict, progress: list, t_start: float) -> str:
     """Merge accumulated section results into the driver JSON line."""
     north = acc.get("device_resident_1k_mvox_s")
@@ -534,6 +586,7 @@ def _assemble(acc: dict, progress: list, t_start: float) -> str:
             k: (round(v, 2) if isinstance(v, float) else v)
             for k, v in acc.items()
         },
+        **_vs_prev(acc),
         "bench_sections": ",".join(progress),
         "bench_elapsed_s": round(time.monotonic() - t_start, 1),
     }
@@ -587,14 +640,16 @@ def main():
         if only is not None and name not in only:
             continue
         if time.monotonic() - t_start > budget:
+            # still print: the driver keeps only the LAST line, which must
+            # carry the complete bench_sections list incl. budget skips
             progress.append(f"{name}:skipped")
-            continue
-        try:
-            acc.update(fn())
-            progress.append(name)
-        except Exception as e:
-            acc[f"{name}_error"] = str(e)[:200]
-            progress.append(f"{name}:error")
+        else:
+            try:
+                acc.update(fn())
+                progress.append(name)
+            except Exception as e:
+                acc[f"{name}_error"] = str(e)[:200]
+                progress.append(f"{name}:error")
         print(_assemble(acc, progress, t_start), flush=True)
 
 

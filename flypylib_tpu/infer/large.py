@@ -1814,6 +1814,14 @@ def make_stream_plan(
     kept only as a documented alternative.  Detection-identical (both
     pinned vs the scipy host reference in tests/test_large.py).
     """
+    if tile_out is not None and int(tile_out) < spec.size_multiple:
+        raise ValueError(
+            f"tile_out={tile_out} is below the model's size_multiple "
+            f"({spec.size_multiple}); the tile forward cannot keep the "
+            "pooling phase at that size"
+        )
+    if tile_batch is not None and int(tile_batch) < 1:
+        raise ValueError(f"tile_batch must be >= 1, got {tile_batch}")
     if core is None:
         core = _default_core(spec, window, 128, shape)
     return _StreamPlan(

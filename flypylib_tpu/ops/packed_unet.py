@@ -316,13 +316,17 @@ class PackedUNet:
             if (
                 lev == 0
                 and self.tail_impl != "xla"
-                and (xin.shape[0] != 1 or f32_logits)
+                and not f32_logits
+                and xin.shape[0] != 1
             ):
                 # trace-time warning (shapes are static): a non-xla
                 # tail_impl quietly mixing Pallas (batch-1 tiles) and
                 # XLA (batched tiles) f32 accumulation orders would
                 # break the tiled==monolithic bitwise invariant for
-                # opt-in users — ADVICE round 3
+                # opt-in users — ADVICE round 3.  Inference only: the
+                # training path (f32_logits, forward_train) can never
+                # take the Pallas tail, so warning there would re-fire
+                # on every recompile for opted-in training — ADVICE r4
                 warnings.warn(
                     f"tail_impl={self.tail_impl!r} supports only "
                     "batch-1 bf16-logits inference; this shape falls "

@@ -117,8 +117,21 @@ _SLOW_NODEIDS = [
 ]
 
 
+def _is_slow(nodeid: str) -> bool:
+    # Trailing-"::" entries mark a whole file; otherwise match the exact
+    # test or its parametrizations only (a bare prefix match would also
+    # capture e.g. test_loss_decreases_fast).
+    for pfx in _SLOW_NODEIDS:
+        if pfx.endswith("::"):
+            if nodeid.startswith(pfx):
+                return True
+        elif nodeid == pfx or nodeid.startswith(pfx + "["):
+            return True
+    return False
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
         nodeid = item.nodeid.replace("tests/", "", 1)
-        if any(nodeid.startswith(pfx) for pfx in _SLOW_NODEIDS):
+        if _is_slow(nodeid):
             item.add_marker(pytest.mark.slow)
