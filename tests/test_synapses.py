@@ -39,6 +39,54 @@ def test_load_dvid_style():
     assert tb.conf[0] == 0.8
 
 
+def test_load_dvid_rels_partner_union():
+    """Partners recovered from PreSynTo Rels, PostSynTo back-refs, or
+    both — deduped by position (SURVEY.md section 2.2 row 4)."""
+    obj = [
+        # PreSyn listing one PSD itself; a second PSD points back only
+        {"Kind": "PreSyn", "Pos": [5, 6, 7], "Prop": {"conf": "0.8"},
+         "Rels": [{"Rel": "PreSynTo", "To": [10, 11, 12]}]},
+        {"Kind": "PostSyn", "Pos": [10, 11, 12],
+         "Rels": [{"Rel": "PostSynTo", "To": [5, 6, 7]}]},  # dup of above
+        {"Kind": "PostSyn", "Pos": [20, 21, 22],
+         "Rels": [{"Rel": "PostSynTo", "To": [5, 6, 7]}]},
+        # PreSyn with no partners at all
+        {"Kind": "PreSyn", "Pos": [1, 2, 3]},
+    ]
+    tb = load_from_json(obj)
+    assert len(tb) == 2
+    np.testing.assert_array_equal(
+        tb.partners[0], [[12, 11, 10], [22, 21, 20]]  # zyx, deduped
+    )
+    assert tb.partners[1].shape == (0, 3)
+
+
+def test_dvid_partner_roundtrip(tmp_path):
+    """save(style=dvid) emits PreSyn+PostSyn with Rels on both sides and
+    load recovers identical locs + partners."""
+    tb = Tbars(
+        locs=[[3, 2, 1], [9, 8, 7]],
+        conf=[0.5, 0.25],
+        partners=[[[4, 4, 4], [5, 5, 5]], np.zeros((0, 3))],
+    )
+    obj = save_to_json(tb, style="dvid")
+    kinds = sorted(el["Kind"] for el in obj)
+    assert kinds == ["PostSyn", "PostSyn", "PreSyn", "PreSyn"]
+    pre = [el for el in obj if el["Kind"] == "PreSyn"]
+    assert [r["Rel"] for r in pre[0]["Rels"]] == ["PreSynTo", "PreSynTo"]
+    assert "Rels" not in pre[1]
+    post = [el for el in obj if el["Kind"] == "PostSyn"]
+    assert all(
+        r["Rel"] == "PostSynTo" and r["To"] == pre[0]["Pos"]
+        for el in post for r in el["Rels"]
+    )
+    back = load_from_json(obj)
+    np.testing.assert_array_equal(back.locs, tb.locs)
+    np.testing.assert_allclose(back.conf, tb.conf)
+    np.testing.assert_array_equal(back.partners[0], tb.partners[0])
+    assert back.partners[1].shape == (0, 3)
+
+
 def test_save_roundtrip(tmp_path):
     tb = Tbars(locs=[[3, 2, 1], [9, 8, 7]], conf=[0.5, 0.25])
     for style in ("raveler", "dvid"):
