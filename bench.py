@@ -467,16 +467,27 @@ print(json.dumps(out))
 """
 
 
+# The TRUE eval-config-1 CPU reference (BASELINE.json:7: "one 256^3
+# HDF5 cutout"), measured ONCE on this sandbox 2026-08-20 (23 min:
+# f32 conv forward + scipy NMS/CC via _HOST_SNIPPET at size=256;
+# raw record in experiments/cpu_ref_256.json).  Cached so the bench
+# doesn't re-pay the 23 min every run; ``cpu_reference_cached: true``
+# marks the provenance, and the live small-cutout run below
+# cross-checks the rate each bench (0.0122 at 256^3 vs 0.02 at 64^3 —
+# the 64^3 run flattered the CPU via cache effects).
+_CPU_REF_256_MVOX_S = 0.01216
+_CPU_REF_256_DATE = "2026-08-20"
+
+
 def bench_host(size: int = 64):
     """CPU reference + analytic model FLOPs, in one subprocess.
 
     Subprocess because the sandbox pins JAX_PLATFORMS=axon and the
-    parent process already initialized the TPU backend.  ``size`` is
-    the CPU-reference cutout edge: the CPU path is ~1000x slower than
-    the chip, so a small cutout (already thousands of conv windows)
-    keeps the bench inside the driver budget; ``vs_baseline`` is a
-    ratio of two different-size runs, normalized to Mvox/s — the
-    ``cpu_reference_size`` field makes that explicit.
+    parent process already initialized the TPU backend.  The official
+    ``cpu_reference_mvox_s`` is the CACHED one-time 256^3 measurement
+    (eval config 1 at its specified size); ``size`` only controls the
+    live cross-check cutout (``cpu_reference_live_*`` fields), kept
+    small so the bench stays inside the driver budget.
     """
     import subprocess
 
@@ -488,8 +499,12 @@ def bench_host(size: int = 64):
     line = out.stdout.strip().splitlines()[-1]
     res = json.loads(line)
     return {
-        "cpu_reference_mvox_s": res["mvox_s"],
-        "cpu_reference_size": size,
+        "cpu_reference_mvox_s": _CPU_REF_256_MVOX_S,
+        "cpu_reference_size": 256,
+        "cpu_reference_cached": True,
+        "cpu_reference_measured": _CPU_REF_256_DATE,
+        "cpu_reference_live_mvox_s": res["mvox_s"],
+        "cpu_reference_live_size": size,
         "baseline_flops_per_voxel": round(res["baseline_flops_per_voxel"]),
         "unet_flops_per_voxel": round(res["unet_flops_per_voxel"]),
     }
@@ -583,7 +598,10 @@ def _assemble(acc: dict, progress: list, t_start: float) -> str:
         "vs_baseline": round(vs, 2) if vs else None,
         **derived,
         **{
-            k: (round(v, 2) if isinstance(v, float) else v)
+            # sub-unit floats (e.g. the 0.012 Mvox/s CPU reference) keep
+            # enough digits to stay meaningful
+            k: (round(v, 2 if abs(v) >= 1 else 5)
+                if isinstance(v, float) else v)
             for k, v in acc.items()
         },
         **_vs_prev(acc),

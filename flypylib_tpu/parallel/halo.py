@@ -139,7 +139,14 @@ def sharded_infer(
     ny = mesh.shape[ay] if ay else 1
     nx = mesh.shape[ax_] if ax_ else 1
     c = spec.context
-    vol = np.asarray(volume, dtype=np.float32)
+    vol = np.asarray(volume)
+    if vol.dtype != np.uint8:
+        # uint8 stays uint8 on the wire AND in the host staging copy
+        # (4x less traffic/RAM; the model casts in-graph, and uint8
+        # values are exact in f32/bf16, so results are bitwise
+        # identical to a host-side f32 cast — same rule as
+        # TiledInference.infer); everything else canonicalizes to f32
+        vol = vol.astype(np.float32)
     vz, vy, vx = vol.shape
 
     sz = _shard_extent(vz, nz, c, spec)
@@ -175,7 +182,7 @@ def sharded_infer(
     # outputs that are cropped below.
     mono = np.pad(vol, c, mode=pad_mode) if c else vol
     full = np.zeros(
-        (vz_p + 2 * c, vy_p + 2 * c, vx_p + 2 * c), np.float32
+        (vz_p + 2 * c, vy_p + 2 * c, vx_p + 2 * c), vol.dtype
     )
     full[: vz + 2 * c, : vy + 2 * c, : vx + 2 * c] = mono
     # sharded dims carry their halo via exchange (work excludes the pad);

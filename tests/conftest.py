@@ -74,6 +74,7 @@ _SLOW_NODEIDS = [
     "test_network_api.py::test_unet_train_smoke",
     "test_network_api.py::test_model_zoo_names",
     "test_train.py::test_loss_decreases",
+    "test_train.py::test_validation_uses_infer_engine_tiling",
     "test_train.py::test_packed_engine_matches_plain",
     "test_train.py::test_uint8_image_training",
     "test_packed_unet.py::",  # whole file: packed U-Net forward/grad A/Bs
