@@ -76,6 +76,51 @@ _WORKER = textwrap.dedent(
     state, metrics = step(state, jax.random.PRNGKey(0), data)
     loss = float(jax.device_get(metrics["loss"]))
 
+    # --- volume-sharded inference + NMS + CC across BOTH processes ---
+    # (VERDICT r04 missing #3: the sharded detection path fed host-local
+    # arrays into a global-mesh jit — multi-process staging now goes
+    # through make_array_from_callback / process_allgather)
+    from flypylib_tpu.ops.host_reference import components_host, nms_host
+    from flypylib_tpu.parallel.halo import (
+        _host_gather,
+        sharded_components,
+        sharded_infer,
+        sharded_nms,
+    )
+
+    ispec = baseline_model(features=(4,), dilations=(1,), head_features=8,
+                           dtype=jnp.float32)
+    ivars = jax.device_get(
+        ispec.init(jax.random.PRNGKey(1), ispec.valid_size(9))
+    )
+    rng2 = np.random.default_rng(42)  # identical volume on every process
+    vol = rng2.random((32, 16, 16)).astype(np.float32)
+    smesh = Mesh(np.asarray(jax.devices()), ("space",))
+    gprob = sharded_infer(ispec, ivars, vol, smesh)
+    prob_sh = np.asarray(_host_gather(gprob))
+
+    # monolithic reference on the local host
+    cpad = ispec.context
+    xm = np.pad(vol, cpad, mode="reflect")
+    prob_mono = np.asarray(jax.jit(
+        lambda v, x: jax.nn.sigmoid(
+            ispec.module.apply(v, x[None, ..., None], train=False)[0, ..., 0]
+        )
+    )(ivars, xm))
+    thr = float(np.quantile(prob_mono, 0.98))
+    det = sharded_nms(gprob, smesh, window=3, threshold=thr,
+                      max_per_shard=64)
+    det_mono = nms_host(prob_mono, window=3, threshold=thr)
+    cc = sharded_components(gprob, smesh, threshold=thr,
+                            max_components=64)
+    cc_mono = components_host(prob_mono, threshold=thr)
+
+    def same(a, b):
+        return (len(a) == len(b)
+                and bool(np.array_equal(np.asarray(a.locs),
+                                        np.asarray(b.locs)))
+                and bool(np.allclose(a.conf, b.conf, rtol=1e-6)))
+
     print(json.dumps({
         "active": bool(active),
         "process_index": jax.process_index(),
@@ -85,6 +130,10 @@ _WORKER = textwrap.dedent(
         "psum": psum_val,
         "local_batch": local_batch_size(len(devs)),
         "loss": loss,
+        "sharded_prob_equal": bool(np.array_equal(prob_sh, prob_mono)),
+        "sharded_nms_equal": same(det, det_mono),
+        "sharded_cc_equal": same(cc, cc_mono),
+        "n_det": len(det),
     }))
     """
 )
@@ -131,6 +180,11 @@ def test_two_process_distributed_cpu(tmp_path):
         assert r["local_batch"] == 2
         assert r["loss"] == results[0]["loss"]  # identical on both hosts
         assert r["loss"] > 0
+        # sharded detection across 2 processes == monolithic, exactly
+        assert r["sharded_prob_equal"] is True
+        assert r["sharded_nms_equal"] is True
+        assert r["sharded_cc_equal"] is True
+        assert r["n_det"] > 0 and r["n_det"] == results[0]["n_det"]
 
 
 def _free_port() -> int:
