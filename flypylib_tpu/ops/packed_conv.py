@@ -48,12 +48,7 @@ from flypylib_tpu.models.zoo import ConvStack, ModelSpec, _probe_geometry
 _PARITY = list(product(range(2), repeat=3))  # (pz, py, px), px fastest
 
 
-def pack_volume(x: jax.Array) -> jax.Array:
-    """(B, D, H, W, C) -> (B, D/2, H/2, W/2, 8C); dims must be even.
-
-    Packed channel index = ((pz*2 + py)*2 + px)*C + c, i.e. cell (r) /
-    parity (p) encode original position 2r + p per axis.
-    """
+def _pack_volume_impl(x: jax.Array) -> jax.Array:
     b, d, h, w, c = x.shape
     if d % 2 or h % 2 or w % 2:
         raise ValueError(f"pack_volume needs even spatial dims, got {x.shape}")
@@ -62,8 +57,7 @@ def pack_volume(x: jax.Array) -> jax.Array:
     return x.reshape(b, d // 2, h // 2, w // 2, 8 * c)
 
 
-def unpack_volume(x: jax.Array) -> jax.Array:
-    """Inverse of :func:`pack_volume`."""
+def _unpack_volume_impl(x: jax.Array) -> jax.Array:
     b, d, h, w, c8 = x.shape
     c = c8 // 8
     x = x.reshape(b, d, h, w, 2, 2, 2, c)
@@ -71,13 +65,7 @@ def unpack_volume(x: jax.Array) -> jax.Array:
     return x.reshape(b, 2 * d, 2 * h, 2 * w, c)
 
 
-def pack_volume_iv(x: jax.Array) -> jax.Array:
-    """:func:`pack_volume` by three per-axis de-interleaves (split-
-    reshape + strided slices with channel concat) instead of one 8-D
-    transpose.  Bitwise the same values; the transpose form's TPU
-    layout copy costs 14.65 GB of temp at a (388^3, 1) f32 tile vs ~0
-    for this form (experiments/pack_mem_probe.py).  Use for big-spatial
-    packs (the U-Net covering tiles); small tiles are fine either way."""
+def _pack_volume_iv_impl(x: jax.Array) -> jax.Array:
     b, d, h, w, c = x.shape
     if d % 2 or h % 2 or w % 2:
         raise ValueError(f"pack_volume needs even spatial dims, got {x.shape}")
@@ -88,18 +76,7 @@ def pack_volume_iv(x: jax.Array) -> jax.Array:
     return jnp.concatenate((x[:, 0::2], x[:, 1::2]), axis=-1)
 
 
-def unpack_volume_iv(x: jax.Array) -> jax.Array:
-    """:func:`unpack_volume` by three per-axis channel-split interleaves
-    (stack + merge-reshape) instead of one 8-D transpose.
-
-    Bitwise the same values.  The one-shot transpose form makes XLA's
-    TPU layout assignment materialize the (..., 2, 2, 2, c) parity view
-    in a (8,128)-tiled layout with the size-2 parity dims minor — padded
-    64x, a 7-10 GB temp on 300^3-class tiles (AOT memory analysis in
-    experiments/shared_unet_mem2.py; it silently taxed every packed
-    U-Net forward and OOM'd the 1k^3 shared-forward mode).  The
-    per-axis stacks keep a wide channel dim minor at every step, so each
-    materialization is a sane unpadded copy."""
+def _unpack_volume_iv_impl(x: jax.Array) -> jax.Array:
     b, d, h, w, c8 = x.shape
     c = c8 // 8
     # z: channel halves are z-parity 0/1 (packed index (pz, py, px, ch))
@@ -109,6 +86,63 @@ def unpack_volume_iv(x: jax.Array) -> jax.Array:
     x = x.reshape(b, 2 * d, 2 * h, w, c8 // 4)
     # x-parity is adjacent to w after the channel split: merge-reshape
     return x.reshape(b, 2 * d, 2 * h, 2 * w, c)
+
+
+# Hand-written VJPs (VERDICT r04 item 4).  pack/unpack are inverse
+# PERMUTATIONS of the same elements, so the cotangent of one is exactly
+# the other applied to the incoming cotangent — bitwise, not just
+# mathematically.  Routing every backward through the *_iv interleave
+# forms avoids the cotangent graphs XLA derives on its own (the strided
+# slices in pack_volume_iv transpose to interior-padded pads that are
+# then summed — full-size padded temps per axis; the 8-D transpose
+# forms relayout-copy at training shapes — commit c87b5eb,
+# experiments/train_packed_anatomy.jsonl).
+
+def _mk_pack_vjp(fwd_impl, bwd_impl):
+    f = jax.custom_vjp(fwd_impl)
+    f.defvjp(lambda x: (fwd_impl(x), None),
+             lambda _, g: (bwd_impl(g),))
+    return f
+
+
+pack_volume = _mk_pack_vjp(_pack_volume_impl, _unpack_volume_iv_impl)
+pack_volume.__name__ = "pack_volume"
+pack_volume.__doc__ = """(B, D, H, W, C) -> (B, D/2, H/2, W/2, 8C); dims must be even.
+
+    Packed channel index = ((pz*2 + py)*2 + px)*C + c, i.e. cell (r) /
+    parity (p) encode original position 2r + p per axis.  Backward is
+    the hand-written inverse permutation (interleave form) — see
+    module comment above :func:`_mk_pack_vjp`.
+    """
+
+unpack_volume = _mk_pack_vjp(_unpack_volume_impl, _pack_volume_iv_impl)
+unpack_volume.__name__ = "unpack_volume"
+unpack_volume.__doc__ = """Inverse of :func:`pack_volume` (hand-written VJP, see above)."""
+
+pack_volume_iv = _mk_pack_vjp(_pack_volume_iv_impl, _unpack_volume_iv_impl)
+pack_volume_iv.__name__ = "pack_volume_iv"
+pack_volume_iv.__doc__ = """:func:`pack_volume` by three per-axis de-interleaves (split-
+    reshape + strided slices with channel concat) instead of one 8-D
+    transpose.  Bitwise the same values; the transpose form's TPU
+    layout copy costs 14.65 GB of temp at a (388^3, 1) f32 tile vs ~0
+    for this form (experiments/pack_mem_probe.py).  Use for big-spatial
+    packs (the U-Net covering tiles); small tiles are fine either way.
+    Backward is the hand-written de-interleave (see _mk_pack_vjp)."""
+
+unpack_volume_iv = _mk_pack_vjp(_unpack_volume_iv_impl, _pack_volume_iv_impl)
+unpack_volume_iv.__name__ = "unpack_volume_iv"
+unpack_volume_iv.__doc__ = """:func:`unpack_volume` by three per-axis channel-split interleaves
+    (stack + merge-reshape) instead of one 8-D transpose.
+
+    Bitwise the same values.  The one-shot transpose form makes XLA's
+    TPU layout assignment materialize the (..., 2, 2, 2, c) parity view
+    in a (8,128)-tiled layout with the size-2 parity dims minor — padded
+    64x, a 7-10 GB temp on 300^3-class tiles (AOT memory analysis in
+    experiments/shared_unet_mem2.py; it silently taxed every packed
+    U-Net forward and OOM'd the 1k^3 shared-forward mode).  The
+    per-axis stacks keep a wide channel dim minor at every step, so each
+    materialization is a sane unpadded copy.  Backward is the
+    hand-written interleave (see _mk_pack_vjp)."""
 
 
 @functools.lru_cache(maxsize=4)
@@ -141,9 +175,7 @@ def pack_weight_d1(w: jax.Array) -> jax.Array:
     return wp.reshape(2, 2, 2, 8 * ci, 8 * co)
 
 
-def parity_split(x: jax.Array) -> jax.Array:
-    """(B, D, H, W, C) -> (8B, D/2, H/2, W/2, C): batch the 8 parity
-    sub-lattices (new batch = b*8 + ((pz*2+py)*2+px)); dims must be even."""
+def _parity_split_impl(x: jax.Array) -> jax.Array:
     b, d, h, w, c = x.shape
     if d % 2 or h % 2 or w % 2:
         raise ValueError(
@@ -154,13 +186,59 @@ def parity_split(x: jax.Array) -> jax.Array:
     return x.reshape(b * 8, d // 2, h // 2, w // 2, c)
 
 
-def parity_merge(x: jax.Array) -> jax.Array:
-    """Inverse of :func:`parity_split`."""
+def _parity_merge_impl(x: jax.Array) -> jax.Array:
     b8, d, h, w, c = x.shape
     b = b8 // 8
     x = x.reshape(b, 2, 2, 2, d, h, w, c)
     x = x.transpose(0, 4, 1, 5, 2, 6, 3, 7)
     return x.reshape(b, 2 * d, 2 * h, 2 * w, c)
+
+
+def _mk_parity_vjp(fwd_impl, bwd_impl):
+    """custom_vjp whose backward is the hand-written inverse permutation
+    BEHIND an optimization_barrier.  The forward chain needed exactly
+    this barrier (round-3 chain_fix: XLA fused the parity-split
+    transpose into the first stage-B conv at ~6x cost); the backward
+    chain has the mirrored structure (cotangent relayout feeding the
+    transposed convs) and no barrier of its own — commit c87b5eb
+    attributes the packed-train plateau to these cotangents."""
+    f = jax.custom_vjp(fwd_impl)
+    f.defvjp(lambda x: (fwd_impl(x), None),
+             lambda _, g: (lax.optimization_barrier(bwd_impl(g)),))
+    return f
+
+
+parity_split = _mk_parity_vjp(_parity_split_impl, _parity_merge_impl)
+parity_split.__name__ = "parity_split"
+parity_split.__doc__ = """(B, D, H, W, C) -> (8B, D/2, H/2, W/2, C): batch the 8 parity
+    sub-lattices (new batch = b*8 + ((pz*2+py)*2+px)); dims must be even.
+    Backward is the barrier'd hand-written merge (see _mk_parity_vjp)."""
+
+parity_merge = _mk_parity_vjp(_parity_merge_impl, _parity_split_impl)
+parity_merge.__name__ = "parity_merge"
+parity_merge.__doc__ = """Inverse of :func:`parity_split` (barrier'd hand-written VJP)."""
+
+
+def _parity_batch_impl(x: jax.Array) -> jax.Array:
+    b0, d, h, w_, c8 = x.shape
+    c = c8 // 8
+    x = x.reshape(b0, d, h, w_, 8, c)
+    return x.transpose(0, 4, 1, 2, 3, 5).reshape(b0 * 8, d, h, w_, c)
+
+
+def _parity_unbatch_impl(x: jax.Array) -> jax.Array:
+    b8, d, h, w_, c = x.shape
+    b0 = b8 // 8
+    x = x.reshape(b0, 8, d, h, w_, c)
+    return x.transpose(0, 2, 3, 4, 1, 5).reshape(b0, d, h, w_, 8 * c)
+
+
+parity_batch = _mk_parity_vjp(_parity_batch_impl, _parity_unbatch_impl)
+parity_batch.__name__ = "parity_batch"
+parity_batch.__doc__ = """Packed parity-major channels -> parity-batched lattices:
+    (B, d, h, w, 8c) -> (8B, d, h, w, c) with new batch b*8 + parity.
+    The stage-A/stage-B boundary relayout, as a named op so its backward
+    is the barrier'd hand-written inverse (see _mk_parity_vjp)."""
 
 
 def _conv(x, w, dims=("NDHWC", "DHWIO", "NDHWC")):
@@ -280,10 +358,7 @@ class PackedConvStack:
             x = _conv(x, pack_weight_d1(w))
             x = self._epilogue(variables, x, i, dt)
         # packed channels (parity-major) -> parity-batched lattices
-        b0, d, h, w_, c8 = x.shape
-        c = c8 // 8
-        x = x.reshape(b0, d, h, w_, 8, c)
-        x = x.transpose(0, 4, 1, 2, 3, 5).reshape(b0 * 8, d, h, w_, c)
+        x = parity_batch(x)
         return lax.optimization_barrier(x)
 
     def apply_stage_b(self, variables, x, *, f32_logits: bool = False):

@@ -166,7 +166,8 @@ class PackedUNet:
     training."""
 
     def __init__(self, inner: UNetValid, barriers: bool = False,
-                 tail_impl: str = "xla", tail_block=(3, 3, 1 << 30)):
+                 tail_impl: str = "xla", tail_block=(3, 3, 1 << 30),
+                 fold_form: str = "concat"):
         # ``barriers``: materialize each pack_volume relayout with
         # lax.optimization_barrier before the conv that consumes it —
         # the same transpose-fused-into-conv defect fixed in
@@ -192,11 +193,29 @@ class PackedUNet:
         # still pending, and round 6a showed an in-chain boundary
         # tensor can erase a standalone win.  The full-chain "pallas"
         # variant is VMEM-walled at b2x2 where halo recompute eats it.
-        if tail_impl not in ("xla", "pallas", "pallas_fold"):
+        # ``fold_form``: how each decoder stage consumes the PRE-concat
+        # skip (sc) and upsampled (x) tensors (VERDICT r04 item 1 —
+        # native-layout formulations of the level-0 boundary):
+        #   "concat" (default): xin = concat([sc, x]); one fold conv.
+        #   "split":  conv(sc, w_skip) + conv(x, w_up_eff) summed — the
+        #             concat tensor never materializes; each input is
+        #             read in its producer's layout.  Same products, MXU
+        #             accumulation grouping differs (f32 sum of two f32
+        #             conv outputs vs one wider conv).
+        #   "split0": "split" at level 0 only (the collapse level).
+        # "pallas2"/"pallas_fold2": the PRE-CONCAT kernels — stage 0
+        # reads the skip and upsampled tensors as separate refs and sums
+        # two VMEM dots (ops/pallas_tail.packed_tail2), so the 240-wide
+        # concat boundary of round 7b never materializes.
+        if tail_impl not in ("xla", "pallas", "pallas_fold",
+                            "pallas2", "pallas_fold2"):
             raise ValueError(f"unknown tail_impl {tail_impl!r}")
+        if fold_form not in ("concat", "split", "split0"):
+            raise ValueError(f"unknown fold_form {fold_form!r}")
         self.inner = inner
         self.barriers = barriers
         self.tail_impl = tail_impl
+        self.fold_form = fold_form
         self.tail_block = tuple(tail_block)
         self.dtype = inner.dtype
 
@@ -312,6 +331,53 @@ class PackedUNet:
             ]  # (2*cells - size)//2 per side
             sc = crop_packed(skip, starts, sizes)
 
+            if (
+                lev == 0
+                and self.tail_impl in ("pallas2", "pallas_fold2")
+                and not f32_logits
+                and x.shape[0] == 1
+            ):
+                # pre-concat kernels: stage 0 reads skip + upsampled as
+                # separate refs (the round-7b revival condition)
+                stage0 = (
+                    w_skip.astype(dt), w_up_eff.astype(dt),
+                    b_fold.astype(dt),
+                )
+                if self.tail_impl == "pallas2":
+                    return self._pallas_tail2(
+                        params, sc, x.astype(dt), conv_i, stage0
+                    )
+                from .pallas_tail import packed_tail2
+
+                x = packed_tail2(
+                    sc[0], x[0].astype(dt), stage0,
+                    block=self.tail_block,
+                    interpret=jax.default_backend() != "tpu",
+                )[None]
+                conv_i += 1
+                for _ in range(cps - 1):
+                    x = packed_conv_relu(x, conv_i)
+                    conv_i += 1
+                continue  # lev == 0: loop ends, logits follow
+            use_split = self.fold_form == "split" or (
+                self.fold_form == "split0" and lev == 0
+            )
+            if use_split and self.tail_impl == "xla":
+                # pre-concat consumption: two convs summed; the
+                # (8Cs+Cc)-channel boundary tensor never materializes
+                y = (
+                    _conv2(sc, w_skip.astype(dt))
+                    + _conv2(x.astype(dt), w_up_eff.astype(dt))
+                    + b_fold.astype(dt)
+                )
+                x = jax.nn.relu(y)
+                conv_i += 1
+                for _ in range(cps - 1):
+                    x = packed_conv_relu(x, conv_i)
+                    conv_i += 1
+                if lev > 0:
+                    x = bar(unpack_volume_iv(x))
+                continue
             xin = jnp.concatenate([sc, x.astype(dt)], axis=-1)
             if (
                 lev == 0
@@ -449,6 +515,42 @@ class PackedUNet:
             xin[0], stages, (wcat, bl), block=self.tail_block,
             interpret=interp,
         )  # (D-cps, H-cps, W-cps, 8) f32
+        return unpack_volume_iv(y[None])
+
+    def _pallas_tail2(self, params, sc, xup, conv_i, stage0):
+        """Level-0 epilogue via the PRE-CONCAT fused kernel: stage 0
+        consumes the cropped skip (``sc``) and the upsampled dense
+        tensor (``xup``) as separate refs (``packed_tail2``), then the
+        remaining packed convs + split-weight logits run fused exactly
+        like :meth:`_pallas_tail`."""
+        from .pallas_tail import packed_tail2
+
+        dt = self.dtype
+        cps = self.inner.convs_per_stage
+        stages = []
+        for j in range(1, cps):
+            p = params[f"Conv_{conv_i + j}"]
+            stages.append(
+                (
+                    pack_weight_d1(p["kernel"].astype(dt)),
+                    jnp.tile(p["bias"].astype(dt), 8),
+                )
+            )
+        pl_ = params[f"Conv_{conv_i + cps}"]
+        wl = pl_["kernel"].astype(jnp.float32)
+        bl = jnp.broadcast_to(pl_["bias"].astype(jnp.float32), (8,))
+        w0 = wl[0, 0, 0]
+        c8 = (stages[-1][0] if stages else stage0[0]).shape[-1]
+        eye = jnp.eye(8, dtype=jnp.float32)
+        w_bd = jnp.einsum("c,gp->gcp", w0[:, 0], eye).reshape(c8, 8)
+        w_hi = w_bd.astype(dt)
+        w_lo = (w_bd - w_hi.astype(jnp.float32)).astype(dt)
+        wcat = jnp.concatenate([w_hi, w_lo], axis=-1)
+        y = packed_tail2(
+            sc[0], xup[0], stage0, stages, (wcat, bl),
+            block=self.tail_block,
+            interpret=jax.default_backend() != "tpu",
+        )
         return unpack_volume_iv(y[None])
 
     def __repr__(self):

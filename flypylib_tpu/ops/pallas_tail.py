@@ -280,6 +280,258 @@ def packed_tail(x, stages, logits=None, block=(8, 16, 16),
     )
 
 
+def _tail2_kernel(xa_ref, xb_ref, *refs, n_stages, SZ, SY, SX, BZ, BY,
+                  BX, ca, cb, chans, logits, out_dtype):
+    """Two-ref variant of :func:`_tail_kernel`: stage 0 consumes the
+    PRE-concat decoder operands (skip ``xa`` and upsampled ``xb``) as
+    separate refs and sums two im2col dots in VMEM — the concat
+    boundary tensor (8Cs+Cc wide, the round-7b relayout tax) never
+    exists anywhere, HBM or VMEM.  Stages 1+ and the logits epilogue
+    are identical to the one-ref kernel."""
+    out_ref = refs[-1]
+    rows = [(SY - s) * SX for s in range(n_stages + 1)]
+    za = jnp.zeros((1, ca), xa_ref.dtype)
+    zb = jnp.zeros((1, cb), xb_ref.dtype)
+    planes_a = [
+        jnp.concatenate([xa_ref[z].reshape(rows[0], ca), za])
+        for z in range(SZ)
+    ]
+    planes_b = [
+        jnp.concatenate([xb_ref[z].reshape(rows[0], cb), zb])
+        for z in range(SZ)
+    ]
+
+    # stage 0: acc = im2col(a) @ Wa + im2col(b) @ Wb
+    wa_ref, wb_ref, b0_ref = refs[0], refs[1], refs[2]
+    co0 = chans[1]
+    rhs_a = jnp.transpose(wa_ref[...], (1, 2, 0, 3, 4)).reshape(
+        8 * ca, co0
+    )
+    rhs_b = jnp.transpose(wb_ref[...], (1, 2, 0, 3, 4)).reshape(
+        8 * cb, co0
+    )
+    bias0 = b0_ref[...]
+    m0 = rows[1]
+    zrow0 = jnp.zeros((1, co0), xa_ref.dtype)
+    only = n_stages == 1
+
+    def stage0(scr_a, scr_b):
+        nxt = []
+        for z in range(len(planes_a) - 1):
+            for k, (dy, dx) in enumerate(
+                (dy, dx) for dy in range(2) for dx in range(2)
+            ):
+                off = dy * SX + dx
+                scr_a[:, 2 * k * ca : (2 * k + 1) * ca] = planes_a[z][
+                    off : off + m0
+                ]
+                scr_a[:, (2 * k + 1) * ca : (2 * k + 2) * ca] = planes_a[
+                    z + 1
+                ][off : off + m0]
+                scr_b[:, 2 * k * cb : (2 * k + 1) * cb] = planes_b[z][
+                    off : off + m0
+                ]
+                scr_b[:, (2 * k + 1) * cb : (2 * k + 2) * cb] = planes_b[
+                    z + 1
+                ][off : off + m0]
+            acc = jnp.dot(
+                scr_a[:], rhs_a, preferred_element_type=jnp.float32
+            ) + jnp.dot(
+                scr_b[:], rhs_b, preferred_element_type=jnp.float32
+            )
+            y = jnp.maximum(acc.astype(xa_ref.dtype) + bias0, 0.0)
+            nxt.append(y if only else jnp.concatenate([y, zrow0]))
+        return nxt
+
+    planes = pl.run_scoped(
+        stage0,
+        pltpu.VMEM((m0, 8 * ca), xa_ref.dtype),
+        pltpu.VMEM((m0, 8 * cb), xb_ref.dtype),
+    )
+
+    for s in range(1, n_stages):
+        w_ref, b_ref = refs[2 * s + 1], refs[2 * s + 2]
+        ci, co = chans[s], chans[s + 1]
+        rhs = jnp.transpose(w_ref[...], (1, 2, 0, 3, 4)).reshape(
+            8 * ci, co
+        )
+        bias = b_ref[...]
+        m_out = rows[s + 1]
+        zrow = jnp.zeros((1, co), xa_ref.dtype)
+        last = s == n_stages - 1
+
+        def stage(scr, planes=planes, rhs=rhs, bias=bias, ci=ci,
+                  m_out=m_out, zrow=zrow, last=last):
+            nxt = []
+            for z in range(len(planes) - 1):
+                for k, (dy, dx) in enumerate(
+                    (dy, dx) for dy in range(2) for dx in range(2)
+                ):
+                    off = dy * SX + dx
+                    scr[:, 2 * k * ci : (2 * k + 1) * ci] = planes[z][
+                        off : off + m_out
+                    ]
+                    scr[:, (2 * k + 1) * ci : (2 * k + 2) * ci] = planes[
+                        z + 1
+                    ][off : off + m_out]
+                acc = jnp.dot(
+                    scr[:], rhs, preferred_element_type=jnp.float32
+                )
+                y = jnp.maximum(acc.astype(xa_ref.dtype) + bias, 0.0)
+                nxt.append(y if last else jnp.concatenate([y, zrow]))
+            return nxt
+
+        planes = pl.run_scoped(
+            stage, pltpu.VMEM((m_out, 8 * ci), xa_ref.dtype)
+        )
+
+    if logits:
+        wl_ref, bl_ref = refs[2 * n_stages + 1], refs[2 * n_stages + 2]
+        L = bl_ref.shape[-1]
+        cn = L
+    else:
+        cn = chans[-1]
+    for z in range(BZ):
+        if logits:
+            y2 = jnp.dot(
+                planes[z], wl_ref[...], preferred_element_type=jnp.float32
+            )
+            y = y2[:, :L] + y2[:, L:] + bl_ref[...]
+        else:
+            y = planes[z]
+        out_ref[z] = y.reshape(BY, SX, cn)[:, :BX].astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block", "interpret", "out_dtype_name"),
+)
+def _packed_tail2_call(xa, xb, wa, wb, b0, ws, bs, wl, bl, block,
+                       interpret, out_dtype_name):
+    D, H, W, ca = xa.shape
+    cb = xb.shape[-1]
+    n = 1 + len(ws)
+    chans = (None, wa.shape[-1]) + tuple(w.shape[-1] for w in ws)
+    logits = wl is not None
+    out_dtype = jnp.dtype(out_dtype_name)
+
+    DO, HO, WO = D - n, H - n, W - n
+    BZ, BY, BX = (min(b, o) for b, o in zip(block, (DO, HO, WO)))
+    if not interpret:
+        BX = WO  # Mosaic lane rule — see _packed_tail_call
+    SZ, SY, SX = BZ + n, BY + n, BX + n
+
+    grid = (-(-DO // BZ), -(-HO // BY), -(-WO // BX))
+
+    def in_idx(i, j, k):
+        kx = 0 if BX == WO else jnp.minimum(k * BX, WO - BX)
+        return (
+            jnp.minimum(i * BZ, DO - BZ),
+            jnp.minimum(j * BY, HO - BY),
+            kx,
+            0,
+        )
+
+    cn = bl.shape[-1] if logits else chans[-1]
+    in_specs = [
+        pl.BlockSpec(
+            (pl.Element(SZ), pl.Element(SY), pl.Element(SX),
+             pl.Element(c)),
+            in_idx,
+        )
+        for c in (ca, cb)
+    ]
+    args = [xa, xb, wa, wb, b0.reshape(1, -1)]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+    for w, b in zip(ws, bs):
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        args += [w, b.reshape(1, -1)]
+    if logits:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        args += [wl, bl.reshape(1, -1)]
+
+    kernel = functools.partial(
+        _tail2_kernel,
+        n_stages=n,
+        SZ=SZ, SY=SY, SX=SX, BZ=BZ, BY=BY, BX=BX,
+        ca=ca, cb=cb,
+        chans=chans,
+        logits=logits,
+        out_dtype=out_dtype,
+    )
+
+    flops = 2 * (D - 1) * (H - 1) * (W - 1) * 8 * (ca + cb) * chans[1]
+    for s in range(1, n):
+        flops += 2 * (D - s - 1) * (H - s - 1) * (W - s - 1) * 8 \
+            * chans[s] * chans[s + 1]
+    if logits:
+        flops += 2 * DO * HO * WO * chans[-1] * 2 * cn
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (pl.Element(BZ), pl.Element(BY), pl.Element(BX),
+             pl.Element(cn)),
+            in_idx,
+        ),
+        out_shape=jax.ShapeDtypeStruct((DO, HO, WO, cn), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(xa.size + xb.size) * xa.dtype.itemsize
+            + DO * HO * WO * cn * out_dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def packed_tail2(xa, xb, stage0, stages=(), logits=None,
+                 block=(3, 3, 1 << 30), interpret: bool = False):
+    """:func:`packed_tail` whose FIRST stage consumes the pre-concat
+    decoder operands: ``relu(conv2(xa, wa) + conv2(xb, wb) + b)`` with
+    ``stage0 = (wa, wb, b)`` — the level-0 fold without ever building
+    ``concat([xa, xb])`` (the round-7b boundary).  ``stages``/``logits``
+    as in :func:`packed_tail`."""
+    wa, wb, b0 = stage0
+    if wa.shape[:3] != (2, 2, 2) or wb.shape[:3] != (2, 2, 2):
+        raise ValueError(
+            f"stage0 must be 2^3 convs, got {wa.shape} / {wb.shape}"
+        )
+    if wa.shape[-1] != wb.shape[-1]:
+        raise ValueError("stage0 halves must share the output width")
+    ws, bs = [], []
+    for w, b in stages:
+        if w.shape[:3] != (2, 2, 2):
+            raise ValueError(
+                f"packed_tail stages must be 2^3 convs, got {w.shape}"
+            )
+        ws.append(w)
+        bs.append(b)
+    n = 1 + len(ws)
+    D, H, W, _ = xa.shape
+    if xb.shape[:3] != (D, H, W):
+        raise ValueError(f"operand shapes differ: {xa.shape} {xb.shape}")
+    if min(D - n, H - n, W - n) < 1:
+        raise ValueError(f"input {xa.shape} smaller than chain depth {n}")
+    wl = bl = None
+    if logits is not None:
+        wl, bl = logits
+        if wl.shape[-1] != 2 * bl.shape[-1]:
+            raise ValueError(
+                f"logits weight {wl.shape} must stack hi/lo columns for "
+                f"bias {bl.shape}"
+            )
+        out_dtype_name = "float32"
+    else:
+        out_dtype_name = jnp.dtype(xa.dtype).name
+    return _packed_tail2_call(
+        xa, xb, wa, wb, b0, tuple(ws), tuple(bs), wl, bl, tuple(block),
+        interpret, out_dtype_name,
+    )
+
+
 def tail_reference(x, stages, logits=None):
     """lax reference with the SAME rounding points (for tests)."""
     from jax import lax

@@ -197,3 +197,24 @@ def test_unet_packed_engine_trains():
     tr = Trainer(spec, cfg, seed=0)
     hist = tr.fit([image], [labels], [mask], epochs=3)
     assert hist[-1]["loss"] < hist[0]["loss"]
+
+
+def test_fold_form_split_matches_concat(small_unet, rng):
+    """fold_form="split"/"split0" (pre-concat two-conv decoder, VERDICT
+    r04 item 1 family) matches the concat fold to f32-accumulation
+    tolerance at every level."""
+    from flypylib_tpu.ops.packed_unet import PackedUNet
+
+    spec, pspec, variables = small_unet
+    s = pspec.min_size
+    x = jnp.asarray(rng.random((1, s, s, s, 1)), jnp.float32)
+    ref = np.asarray(PackedUNet(spec.module).apply(variables, x))
+    for ff in ("split", "split0"):
+        out = np.asarray(
+            PackedUNet(spec.module, fold_form=ff).apply(variables, x)
+        )
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fold_form"):
+        PackedUNet(spec.module, fold_form="bogus")
