@@ -58,13 +58,20 @@ def timeit(fn, x, iters=4, reps=3):
 def main():
     blocks = []
     for a in sys.argv[1:]:
-        kind = "pallas_fold" if a.startswith("fold") else "pallas"
-        rest = a.removeprefix("fold").removeprefix("chain")
-        parts = rest.split("x")
+        # fold2/chain2 = the PRE-concat two-ref kernels (packed_tail2)
+        if a.startswith("fold2"):
+            kind, rest = "pallas_fold2", a.removeprefix("fold2")
+        elif a.startswith("chain2"):
+            kind, rest = "pallas2", a.removeprefix("chain2")
+        elif a.startswith("fold"):
+            kind, rest = "pallas_fold", a.removeprefix("fold")
+        else:
+            kind, rest = "pallas", a.removeprefix("chain")
+        parts = rest.lstrip("-_").split("x")
         if len(parts) != 2 or not all(p.isdigit() for p in parts):
             raise SystemExit(
-                f"bad variant {a!r}: expected fold<Z>x<Y> or chain<Z>x<Y>"
-                " (e.g. fold3x3)"
+                f"bad variant {a!r}: expected fold<Z>x<Y>, chain<Z>x<Y>, "
+                "fold2-<Z>x<Y>, or chain2-<Z>x<Y> (e.g. fold2-3x3)"
             )
         blocks.append((kind, int(parts[0]), int(parts[1])))
     if not blocks:

@@ -167,7 +167,7 @@ class PackedUNet:
 
     def __init__(self, inner: UNetValid, barriers: bool = False,
                  tail_impl: str = "xla", tail_block=(3, 3, 1 << 30),
-                 fold_form: str = "concat"):
+                 fold_form: str = "split"):
         # ``barriers``: materialize each pack_volume relayout with
         # lax.optimization_barrier before the conv that consumes it —
         # the same transpose-fused-into-conv defect fixed in
@@ -196,13 +196,21 @@ class PackedUNet:
         # ``fold_form``: how each decoder stage consumes the PRE-concat
         # skip (sc) and upsampled (x) tensors (VERDICT r04 item 1 —
         # native-layout formulations of the level-0 boundary):
-        #   "concat" (default): xin = concat([sc, x]); one fold conv.
-        #   "split":  conv(sc, w_skip) + conv(x, w_up_eff) summed — the
-        #             concat tensor never materializes; each input is
-        #             read in its producer's layout.  Same products, MXU
-        #             accumulation grouping differs (f32 sum of two f32
-        #             conv outputs vs one wider conv).
-        #   "split0": "split" at level 0 only (the collapse level).
+        #   "split" (default): conv(sc, w_skip) + conv(x, w_up_eff)
+        #             summed — the concat tensor never materializes;
+        #             each input is read in its producer's layout.
+        #             Measured 354.6 -> 342.5 ms on the production
+        #             tin-388 forward (+3.5%; +2.2% at tin 428 —
+        #             experiments/unet_fold_split_ab.jsonl).  Same
+        #             products as "concat", MXU accumulation grouping
+        #             differs (bf16-class drift: 4 of 1619 detections
+        #             shift at the 256^3 operating point — within the
+        #             engine's packed-vs-plain re-association contract;
+        #             tiled==monolithic stays bitwise WITHIN the form).
+        #   "concat": xin = concat([sc, x]); one fold conv (the
+        #             pre-round-5 spelling, kept for A/B).
+        #   "split0": "split" at level 0 only (measured between the
+        #             two: 346.7 ms at tin 388).
         # "pallas2"/"pallas_fold2": the PRE-CONCAT kernels — stage 0
         # reads the skip and upsampled tensors as separate refs and sums
         # two VMEM dots (ops/pallas_tail.packed_tail2), so the 240-wide
@@ -359,10 +367,20 @@ class PackedUNet:
                     x = packed_conv_relu(x, conv_i)
                     conv_i += 1
                 continue  # lev == 0: loop ends, logits follow
+            # a Pallas kernel actually consumes this stage only at
+            # lev==0 / batch-1 / bf16-logits; everywhere else (incl.
+            # the batch>1 XLA fallback of pallas engines) the fold_form
+            # governs, so fallback == the xla engine bit-for-bit
+            pallas_here = (
+                lev == 0
+                and not f32_logits
+                and x.shape[0] == 1
+                and self.tail_impl != "xla"
+            )
             use_split = self.fold_form == "split" or (
                 self.fold_form == "split0" and lev == 0
             )
-            if use_split and self.tail_impl == "xla":
+            if use_split and not pallas_here:
                 # pre-concat consumption: two convs summed; the
                 # (8Cs+Cc)-channel boundary tensor never materializes
                 y = (

@@ -200,15 +200,18 @@ def test_unet_packed_engine_trains():
 
 
 def test_fold_form_split_matches_concat(small_unet, rng):
-    """fold_form="split"/"split0" (pre-concat two-conv decoder, VERDICT
-    r04 item 1 family) matches the concat fold to f32-accumulation
-    tolerance at every level."""
+    """fold_form="split" (the default since round 5)/"split0" (pre-
+    concat two-conv decoder, VERDICT r04 item 1 family) matches the
+    concat fold to f32-accumulation tolerance at every level."""
     from flypylib_tpu.ops.packed_unet import PackedUNet
 
     spec, pspec, variables = small_unet
+    assert PackedUNet(spec.module).fold_form == "split"  # the default
     s = pspec.min_size
     x = jnp.asarray(rng.random((1, s, s, s, 1)), jnp.float32)
-    ref = np.asarray(PackedUNet(spec.module).apply(variables, x))
+    ref = np.asarray(
+        PackedUNet(spec.module, fold_form="concat").apply(variables, x)
+    )
     for ff in ("split", "split0"):
         out = np.asarray(
             PackedUNet(spec.module, fold_form=ff).apply(variables, x)
