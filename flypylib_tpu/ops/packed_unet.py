@@ -583,7 +583,8 @@ def _packed_unet_geometry(module: UNetValid):
 
 def packed_unet_spec(spec: ModelSpec,
                      barriers: bool = False,
-                     tail_impl: str = "xla") -> ModelSpec | None:
+                     tail_impl: str = "xla",
+                     fold_form: str = "split") -> ModelSpec | None:
     """A ModelSpec running a UNetValid ``spec`` through the packed
     engine, or ``None`` when the module is not a UNetValid.  Shares the
     inner params tree; exports the packed (stricter) size constraints.
@@ -594,12 +595,17 @@ def packed_unet_spec(spec: ModelSpec,
     (with a one-time warning).  Because Pallas and XLA f32 accumulation
     orders differ, the tiled==monolithic *bitwise* invariant holds only
     when every tile takes the same tail path — keep batch geometry
-    uniform when opting in."""
+    uniform when opting in.
+
+    ``fold_form`` selects how decoder stages consume the pre-concat
+    skip/upsampled tensors ("split" — the measured default — "split0",
+    or "concat"; see :class:`PackedUNet`)."""
     module = spec.module
     if not isinstance(module, UNetValid):
         return None
     try:
-        pm = PackedUNet(module, barriers=barriers, tail_impl=tail_impl)
+        pm = PackedUNet(module, barriers=barriers, tail_impl=tail_impl,
+                        fold_form=fold_form)
         ctx, mult, off, min_size = _packed_unet_geometry(module)
     except (ValueError, TypeError):
         return None
