@@ -14,6 +14,7 @@ from flypylib_tpu.infer.large import (
     detect_streaming,
     h5_reader,
     array_reader,
+    dvid_reader,
     make_stream_plan,
     stage_volume,
     stage_volume_chunked,
@@ -34,6 +35,7 @@ __all__ = [
     "detect_streaming",
     "h5_reader",
     "array_reader",
+    "dvid_reader",
     "make_stream_plan",
     "stage_volume",
     "stage_volume_chunked",

@@ -219,3 +219,41 @@ def test_gzip_transfer():
         assert len(tb) == 1 and tb.conf[0] == 0.5
     finally:
         srv.shutdown()
+
+
+def test_dvid_reader_streaming_detection(mock_server):
+    """detect_streaming straight from a DVID node (dvid_reader) ==
+    the same detection on the in-RAM array — each ROI window is one
+    /raw cutout GET, never the whole volume in host RAM."""
+    import jax
+    import jax.numpy as jnp
+
+    from flypylib_tpu.infer.large import (
+        array_reader,
+        detect_streaming,
+        dvid_reader,
+    )
+    from flypylib_tpu.models.zoo import baseline_model
+
+    addr, mock = mock_server
+    spec = baseline_model(features=(4,), dilations=(1,), head_features=8,
+                          dtype=jnp.float32)
+    variables = spec.init(jax.random.PRNGKey(0), 16)
+    client = DVIDClient(addr, "abc123")
+
+    shape, read = dvid_reader(client, "grayscale", mock.volume.shape)
+    common = dict(core=8, tile_out=8, window=3, threshold=0.6,
+                  max_detections_per_roi=512)
+    got = detect_streaming(spec, variables, shape, read, **common)
+    ashape, aread = array_reader(mock.volume)
+    want = detect_streaming(spec, variables, ashape, aread, **common)
+    assert len(got) == len(want)
+    np.testing.assert_array_equal(got.locs, want.locs)
+    np.testing.assert_allclose(got.conf, want.conf)
+
+    # offset windows slice the same box the array reader would
+    shape2, read2 = dvid_reader(client, "grayscale", (8, 10, 12),
+                                offset=(2, 3, 4))
+    np.testing.assert_array_equal(
+        read2((0, 0, 0), shape2), mock.volume[2:10, 3:13, 4:16]
+    )
