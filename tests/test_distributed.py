@@ -121,6 +121,14 @@ _WORKER = textwrap.dedent(
                                         np.asarray(b.locs)))
                 and bool(np.allclose(a.conf, b.conf, rtol=1e-6)))
 
+    # 2-D (z x y) mesh across the two processes: staging slices both
+    # sharded dims per process; NMS halos exchange over both axes
+    mesh2 = Mesh(np.asarray(jax.devices()).reshape(2, 2), ("z", "y"))
+    gprob2 = sharded_infer(ispec, ivars, vol, mesh2, axis=("z", "y"))
+    prob2 = np.asarray(_host_gather(gprob2))
+    det2 = sharded_nms(gprob2, mesh2, axis=("z", "y"), window=3,
+                       threshold=thr, max_per_shard=64)
+
     print(json.dumps({
         "active": bool(active),
         "process_index": jax.process_index(),
@@ -133,6 +141,8 @@ _WORKER = textwrap.dedent(
         "sharded_prob_equal": bool(np.array_equal(prob_sh, prob_mono)),
         "sharded_nms_equal": same(det, det_mono),
         "sharded_cc_equal": same(cc, cc_mono),
+        "sharded2d_prob_equal": bool(np.array_equal(prob2, prob_mono)),
+        "sharded2d_nms_equal": same(det2, det_mono),
         "n_det": len(det),
     }))
     """
@@ -184,6 +194,8 @@ def test_two_process_distributed_cpu(tmp_path):
         assert r["sharded_prob_equal"] is True
         assert r["sharded_nms_equal"] is True
         assert r["sharded_cc_equal"] is True
+        assert r["sharded2d_prob_equal"] is True
+        assert r["sharded2d_nms_equal"] is True
         assert r["n_det"] > 0 and r["n_det"] == results[0]["n_det"]
 
 
