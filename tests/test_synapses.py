@@ -127,3 +127,34 @@ def test_training_volumes_mask_semantics():
     assert mask[16, 16, 25] == 1  # outside annulus
     assert mask[0, 16, 16] == 0 and mask[1, 16, 16] == 0  # border
     assert mask[2, 16, 16] == 1
+
+
+def test_dvid_partner_roundtrip_fuzz():
+    """Random partner graphs (incl. PSDs shared between T-bars) survive
+    save(style=dvid) -> load exactly."""
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        n = int(rng.integers(1, 8))
+        locs = rng.integers(0, 100, (n, 3)).astype(np.float64)
+        # unique T-bar positions (DVID keys elements by position)
+        locs += np.arange(n)[:, None] * 100.0
+        conf = rng.random(n)
+        # PSD pool smaller than the partner count -> shared PSDs
+        pool = rng.integers(0, 50, (max(1, n), 3)).astype(np.float64)
+        partners = [
+            pool[rng.integers(0, len(pool), int(rng.integers(0, 4)))]
+            for _ in range(n)
+        ]
+        # dedup within each T-bar (the round-trip unions by position)
+        partners = [np.unique(p, axis=0) if len(p) else np.zeros((0, 3))
+                    for p in partners]
+        tb = Tbars(locs=locs, conf=conf, partners=partners)
+        back = load_from_json(save_to_json(tb, style="dvid"))
+        np.testing.assert_array_equal(back.locs, tb.locs)
+        np.testing.assert_allclose(back.conf, tb.conf)
+        for a, b in zip(back.partners, tb.partners):
+            # order-insensitive: compare as sorted rows
+            np.testing.assert_array_equal(
+                np.asarray(sorted(map(tuple, a))),
+                np.asarray(sorted(map(tuple, b))),
+            )
