@@ -34,7 +34,8 @@ class Tbars:
 
     ``partners`` optionally carries each T-bar's postsynaptic partner
     (PSD) locations as a list of (k_i, 3) float arrays in (z, y, x) —
-    preserved through the Raveler JSON round-trip.
+    preserved through both the Raveler JSON round-trip and the DVID
+    element round-trip (``PreSynTo``/``PostSynTo`` relationships).
     """
 
     locs: np.ndarray  # (N, 3) float64, (z, y, x)
