@@ -197,3 +197,35 @@ def test_detection_verb_window_defaults_unified():
     d = inspect.signature(fpl.FplNetwork.detect).parameters["window"]
     dl = inspect.signature(fpl.FplNetwork.detect_large).parameters["window"]
     assert d.default == dl.default == 5
+
+
+def test_detect_large_auto_routing_uses_hbm_estimate(monkeypatch, rng):
+    """staged=None routes through _staged_fits_hbm: True -> detect_staged,
+    False -> detect_streaming (spy on both)."""
+    import flypylib_tpu.network as net_mod
+    from flypylib_tpu.models.zoo import baseline_model
+    from flypylib_tpu.network import FplNetwork
+
+    spec = baseline_model(features=(4,), dilations=(1,), head_features=8)
+    net = FplNetwork(spec, packed=False)
+    vol = rng.random((24, 24, 24)).astype(np.float32)
+
+    calls = []
+    import flypylib_tpu.infer.large as large_mod
+
+    real_staged = large_mod.detect_staged
+    real_streaming = large_mod.detect_streaming
+    monkeypatch.setattr(
+        large_mod, "detect_staged",
+        lambda *a, **k: calls.append("staged") or real_staged(*a, **k),
+    )
+    monkeypatch.setattr(
+        large_mod, "detect_streaming",
+        lambda *a, **k: calls.append("streaming")
+        or real_streaming(*a, **k),
+    )
+    monkeypatch.setattr(net_mod, "_staged_fits_hbm", lambda v: True)
+    net.detect_large(vol, threshold=0.9, core=16)
+    monkeypatch.setattr(net_mod, "_staged_fits_hbm", lambda v: False)
+    net.detect_large(vol, threshold=0.9, core=16)
+    assert calls == ["staged", "streaming"]
