@@ -349,3 +349,46 @@ def test_forward_train_rejections(rng):
                        jnp.zeros((1, sg, sg, sg, 1)))
     with pytest.raises(ValueError, match="split"):
         g.module.forward_train(vg, jnp.zeros((1, sg, sg, sg, 1)))
+
+
+def test_pack_parity_vjps_are_inverse_permutations():
+    """The hand-written VJPs (round 5): the cotangent of each pack /
+    parity permutation is EXACTLY the inverse permutation applied to
+    the incoming cotangent — bitwise, not just numerically."""
+    import jax
+
+    from flypylib_tpu.ops.packed_conv import (
+        pack_volume,
+        pack_volume_iv,
+        parity_batch,
+        parity_merge,
+        parity_split,
+        unpack_volume,
+        unpack_volume_iv,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 4, 6, 8, 3)), jnp.float32)
+    pairs = [
+        (pack_volume, unpack_volume, x),
+        (pack_volume_iv, unpack_volume_iv, x),
+        (unpack_volume, pack_volume, pack_volume(x)),
+        (unpack_volume_iv, pack_volume_iv, pack_volume(x)),
+        (parity_split, parity_merge, x[..., :1]),
+        (parity_merge, parity_split, parity_split(x[..., :1])),
+        (parity_batch, None, pack_volume(x)),
+    ]
+    for fwd, inv, xin in pairs:
+        y, vjp = jax.vjp(fwd, xin)
+        g = jnp.asarray(rng.standard_normal(y.shape), jnp.float32)
+        (gx,) = vjp(g)
+        assert gx.shape == xin.shape
+        if inv is not None:
+            np.testing.assert_array_equal(np.asarray(gx),
+                                          np.asarray(inv(g)))
+        # permutation check: the cotangent is the same multiset of
+        # values, and round-tripping recovers g exactly
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(gx).ravel()), np.sort(np.asarray(g).ravel())
+        )
+        np.testing.assert_array_equal(np.asarray(fwd(gx)), np.asarray(g))
