@@ -23,16 +23,20 @@ from flypylib_tpu.ops.nms import nms
 from flypylib_tpu.train.trainer import TrainConfig, Trainer
 
 
-def _staged_fits_hbm(vol: np.ndarray, headroom: float = 0.6) -> bool:
-    """True when the HBM-resident (staged) detection mode fits the
-    default device: the volume at its wire dtype (uint8 stays uint8 on
-    device — infer/large.py stages raw chunks) plus the f32 probability
-    shell, against ``headroom`` of the backend-reported HBM limit.
-    Forward activations and postprocess buffers ride in the remainder
-    (the shared forward's per-dispatch footprint is tile-bounded).
-    Falls back to a v5e-like 16 GiB when the backend reports no memory
-    stats (e.g. CPU) — VERDICT r04: a fixed 2 GiB cutoff silently
-    streamed in-RAM f32 1k^3 volumes a 16 GB chip stages fine."""
+def _staged_fits_hbm(vol: np.ndarray, n_devices: int = 1,
+                     headroom: float = 0.6) -> bool:
+    """True when the HBM-resident (staged) detection mode fits EACH
+    participating device: the volume at its wire dtype (uint8 stays
+    uint8 on device — infer/large.py stages raw chunks; replicated per
+    device under ``devices=`` fan-out) plus this device's share of the
+    f32 probability shell (z-bands split it ~evenly across devices),
+    against ``headroom`` of the backend-reported HBM limit.  Forward
+    activations and postprocess buffers ride in the remainder (the
+    shared forward's per-dispatch footprint is tile-bounded).  Falls
+    back to a v5e-like 16 GiB when the backend reports no memory stats
+    (e.g. CPU, and the tunneled TPU backend) — VERDICT r04: a fixed
+    2 GiB cutoff silently streamed in-RAM f32 1k^3 volumes a 16 GB
+    chip stages fine."""
     import jax
 
     limit = None
@@ -44,7 +48,8 @@ def _staged_fits_hbm(vol: np.ndarray, headroom: float = 0.6) -> bool:
         limit = None
     if not limit:
         limit = 16 << 30
-    return vol.nbytes + 4 * vol.size <= headroom * limit
+    shell = 4 * vol.size / max(1, int(n_devices))
+    return vol.nbytes + shell <= headroom * limit
 
 
 class FplNetwork:
@@ -255,7 +260,9 @@ class FplNetwork:
                                     read, **common)
         vol = np.asarray(volume)
         if staged is None:
-            staged = _staged_fits_hbm(vol)  # HBM-resident when it fits
+            # HBM-resident when it fits each participating device
+            devs = kw.get("devices")
+            staged = _staged_fits_hbm(vol, n_devices=len(devs or ()) or 1)
         if staged:
             return detect_staged(self.infer_spec, self.variables, vol,
                                  **common)

@@ -377,6 +377,32 @@ class PackedUNet:
                 and x.shape[0] == 1
                 and self.tail_impl != "xla"
             )
+            if (
+                lev == 0
+                and self.tail_impl != "xla"
+                and not f32_logits
+                and x.shape[0] != 1
+            ):
+                # trace-time warning (shapes are static): a non-xla
+                # tail_impl quietly mixing Pallas (batch-1 tiles) and
+                # XLA (batched tiles) f32 accumulation orders would
+                # break the tiled==monolithic bitwise invariant for
+                # opt-in users — ADVICE round 3.  Lives ABOVE the
+                # fold_form branch so it fires for every fallback
+                # spelling (the round-5 split default made the old
+                # concat-path copy unreachable — code review r5).
+                # Inference only: the training path (f32_logits) can
+                # never take a Pallas tail, so warning there would
+                # re-fire each recompile for opted-in training.
+                warnings.warn(
+                    f"tail_impl={self.tail_impl!r} supports only "
+                    "batch-1 bf16-logits inference; this shape falls "
+                    "back to the XLA tail, whose f32 accumulation "
+                    "order differs from the Pallas kernel — bitwise "
+                    "tiled==monolithic holds only within one tail "
+                    "implementation",
+                    stacklevel=2,
+                )
             use_split = self.fold_form == "split" or (
                 self.fold_form == "split0" and lev == 0
             )
@@ -397,29 +423,6 @@ class PackedUNet:
                     x = bar(unpack_volume_iv(x))
                 continue
             xin = jnp.concatenate([sc, x.astype(dt)], axis=-1)
-            if (
-                lev == 0
-                and self.tail_impl != "xla"
-                and not f32_logits
-                and xin.shape[0] != 1
-            ):
-                # trace-time warning (shapes are static): a non-xla
-                # tail_impl quietly mixing Pallas (batch-1 tiles) and
-                # XLA (batched tiles) f32 accumulation orders would
-                # break the tiled==monolithic bitwise invariant for
-                # opt-in users — ADVICE round 3.  Inference only: the
-                # training path (f32_logits, forward_train) can never
-                # take the Pallas tail, so warning there would re-fire
-                # on every recompile for opted-in training — ADVICE r4
-                warnings.warn(
-                    f"tail_impl={self.tail_impl!r} supports only "
-                    "batch-1 bf16-logits inference; this shape falls "
-                    "back to the XLA tail, whose f32 accumulation "
-                    "order differs from the Pallas kernel — bitwise "
-                    "tiled==monolithic holds only within one tail "
-                    "implementation",
-                    stacklevel=2,
-                )
             if (
                 lev == 0
                 and self.tail_impl == "pallas"
@@ -494,6 +497,39 @@ class PackedUNet:
             y = y[..., :8] + y[..., 8:] + bl  # (B, D, H, W, 8)
         return unpack_volume_iv(y.reshape(b_, d, h, w_sp, 8 * 1))
 
+    def _tail_epilogue_args(self, params, conv_i, fold_out_c):
+        """Shared operand prep for both fused tail kernels: the
+        ``cps - 1`` packed convs AFTER the fold stage, plus the
+        block-diagonal split-weight logits operands (hi/lo bf16 columns
+        with f32 accumulation — the same rounding points as the XLA
+        epilogue).  One copy so a future change to the rounding points
+        or the block-diagonal layout cannot diverge the kernel paths
+        (code review r5)."""
+        dt = self.dtype
+        cps = self.inner.convs_per_stage
+        extra = []
+        for j in range(1, cps):
+            p = params[f"Conv_{conv_i + j}"]
+            extra.append(
+                (
+                    pack_weight_d1(p["kernel"].astype(dt)),
+                    jnp.tile(p["bias"].astype(dt), 8),
+                )
+            )
+        pl_ = params[f"Conv_{conv_i + cps}"]
+        wl = pl_["kernel"].astype(jnp.float32)
+        # the 1-channel logits bias reaches all 8 parity lanes; the
+        # kernel sizes L from bl, so broadcast it explicitly
+        bl = jnp.broadcast_to(pl_["bias"].astype(jnp.float32), (8,))
+        w0 = wl[0, 0, 0]  # (C, 1)
+        c8 = extra[-1][0].shape[-1] if extra else fold_out_c
+        eye = jnp.eye(8, dtype=jnp.float32)
+        w_bd = jnp.einsum("c,gp->gcp", w0[:, 0], eye).reshape(c8, 8)
+        w_hi = w_bd.astype(dt)
+        w_lo = (w_bd - w_hi.astype(jnp.float32)).astype(dt)
+        wcat = jnp.concatenate([w_hi, w_lo], axis=-1)  # (8C, 16)
+        return extra, (wcat, bl)
+
     def _pallas_tail(self, params, xin, conv_i, w_fold, b_fold):
         """Level-0 epilogue via the fused Pallas kernel.
 
@@ -506,32 +542,13 @@ class PackedUNet:
         from .pallas_tail import packed_tail
 
         dt = self.dtype
-        cps = self.inner.convs_per_stage
-        stages = [(w_fold.astype(dt), b_fold.astype(dt))]
-        for j in range(1, cps):
-            p = params[f"Conv_{conv_i + j}"]
-            stages.append(
-                (
-                    pack_weight_d1(p["kernel"].astype(dt)),
-                    jnp.tile(p["bias"].astype(dt), 8),
-                )
-            )
-        pl_ = params[f"Conv_{conv_i + cps}"]
-        wl = pl_["kernel"].astype(jnp.float32)
-        # the 1-channel logits bias reaches all 8 parity lanes; the
-        # kernel sizes L from bl, so broadcast it explicitly
-        bl = jnp.broadcast_to(pl_["bias"].astype(jnp.float32), (8,))
-        w0 = wl[0, 0, 0]  # (C, 1)
-        c8 = stages[-1][0].shape[-1]
-        eye = jnp.eye(8, dtype=jnp.float32)
-        w_bd = jnp.einsum("c,gp->gcp", w0[:, 0], eye).reshape(c8, 8)
-        w_hi = w_bd.astype(dt)
-        w_lo = (w_bd - w_hi.astype(jnp.float32)).astype(dt)
-        wcat = jnp.concatenate([w_hi, w_lo], axis=-1)  # (8C, 16)
-        interp = jax.default_backend() != "tpu"
+        fold = (w_fold.astype(dt), b_fold.astype(dt))
+        extra, logits = self._tail_epilogue_args(
+            params, conv_i, fold[0].shape[-1]
+        )
         y = packed_tail(
-            xin[0], stages, (wcat, bl), block=self.tail_block,
-            interpret=interp,
+            xin[0], [fold] + extra, logits, block=self.tail_block,
+            interpret=jax.default_backend() != "tpu",
         )  # (D-cps, H-cps, W-cps, 8) f32
         return unpack_volume_iv(y[None])
 
@@ -543,29 +560,11 @@ class PackedUNet:
         like :meth:`_pallas_tail`."""
         from .pallas_tail import packed_tail2
 
-        dt = self.dtype
-        cps = self.inner.convs_per_stage
-        stages = []
-        for j in range(1, cps):
-            p = params[f"Conv_{conv_i + j}"]
-            stages.append(
-                (
-                    pack_weight_d1(p["kernel"].astype(dt)),
-                    jnp.tile(p["bias"].astype(dt), 8),
-                )
-            )
-        pl_ = params[f"Conv_{conv_i + cps}"]
-        wl = pl_["kernel"].astype(jnp.float32)
-        bl = jnp.broadcast_to(pl_["bias"].astype(jnp.float32), (8,))
-        w0 = wl[0, 0, 0]
-        c8 = (stages[-1][0] if stages else stage0[0]).shape[-1]
-        eye = jnp.eye(8, dtype=jnp.float32)
-        w_bd = jnp.einsum("c,gp->gcp", w0[:, 0], eye).reshape(c8, 8)
-        w_hi = w_bd.astype(dt)
-        w_lo = (w_bd - w_hi.astype(jnp.float32)).astype(dt)
-        wcat = jnp.concatenate([w_hi, w_lo], axis=-1)
+        extra, logits = self._tail_epilogue_args(
+            params, conv_i, stage0[0].shape[-1]
+        )
         y = packed_tail2(
-            sc[0], xup[0], stage0, stages, (wcat, bl),
+            sc[0], xup[0], stage0, extra, logits,
             block=self.tail_block,
             interpret=jax.default_backend() != "tpu",
         )

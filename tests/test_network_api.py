@@ -224,8 +224,28 @@ def test_detect_large_auto_routing_uses_hbm_estimate(monkeypatch, rng):
         lambda *a, **k: calls.append("streaming")
         or real_streaming(*a, **k),
     )
-    monkeypatch.setattr(net_mod, "_staged_fits_hbm", lambda v: True)
+    monkeypatch.setattr(net_mod, "_staged_fits_hbm",
+                        lambda v, n_devices=1: True)
     net.detect_large(vol, threshold=0.9, core=16)
-    monkeypatch.setattr(net_mod, "_staged_fits_hbm", lambda v: False)
+    monkeypatch.setattr(net_mod, "_staged_fits_hbm",
+                        lambda v, n_devices=1: False)
     net.detect_large(vol, threshold=0.9, core=16)
     assert calls == ["staged", "streaming"]
+
+
+def test_staged_cutoff_device_fanout():
+    """The cutoff estimate splits the prob shell across devices=
+    (volume replicated; z-bands split the shell) — code review r5."""
+    from flypylib_tpu.network import _staged_fits_hbm
+
+    class FakeVol:
+        def __init__(self, size, itemsize):
+            self.size = size
+            self.nbytes = size * itemsize
+
+    gib = 1024 ** 3
+    # 1536^3 uint8: ~3.4 GB volume + 13.5 GB shell -> streams on one
+    # chip, stages on 4 (shell/4 = 3.4 GB; 6.8 GB < 0.6 * 16 GiB)
+    big = FakeVol(int(1536 ** 3), 1)
+    assert not _staged_fits_hbm(big)
+    assert _staged_fits_hbm(big, n_devices=4)

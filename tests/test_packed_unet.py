@@ -221,3 +221,27 @@ def test_fold_form_split_matches_concat(small_unet, rng):
 
     with _pytest.raises(ValueError, match="fold_form"):
         PackedUNet(spec.module, fold_form="bogus")
+
+
+def test_pallas2_tail_impls_match_xla_tail(small_unet, rng):
+    """tail_impl="pallas_fold2"/"pallas2" (PRE-concat two-ref kernels,
+    interpret mode on CPU) == the XLA tail up to f32 tap-accumulation
+    order; batch>1 falls back to the XLA spelling bit-identically AND
+    warns about the mixed-tail hazard (code review r5: the warning was
+    unreachable under the split default)."""
+    spec, pspec, variables = small_unet
+    s = pspec.min_size
+    x = jnp.asarray(rng.random((1, s, s, s, 1)), jnp.float32)
+    ref = np.asarray(pspec.module.apply(variables, x, train=False))
+    xb = jnp.concatenate([x, x + 0.25], axis=0)
+    refb = np.asarray(pspec.module.apply(variables, xb, train=False))
+    for ti in ("pallas_fold2", "pallas2"):
+        pspec2 = packed_unet_spec(spec, tail_impl=ti)
+        got = np.asarray(pspec2.module.apply(variables, x, train=False))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+        with pytest.warns(UserWarning, match="falls back"):
+            gotb = np.asarray(
+                pspec2.module.apply(variables, xb, train=False)
+            )
+        np.testing.assert_array_equal(gotb, refb)
